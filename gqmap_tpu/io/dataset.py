@@ -1,0 +1,103 @@
+"""Middlebury dataset registry.
+
+The reference bundles 10 sequences under ``middlebury/<Seq>/`` with
+``frame10.png``, ``frame11.png`` and (for 8 of them) dense ground truth
+``flow10.flo`` (SURVEY.md section 2.3). The data root is resolved from the
+``GQMAP_DATA`` environment variable, falling back to the read-only reference
+mount. Four sequences additionally ship structure-texture preprocessed
+inputs as ``.mat`` files (``optical_flowSuper.m:12-14``).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import NamedTuple
+
+import numpy as np
+
+from .flo import read_flo
+from .images import load_image, rgb2gray
+
+__all__ = ["Sequence", "data_root", "list_sequences", "load_sequence", "SEQUENCES"]
+
+# Canonical sequence directory names as shipped (note lower-case rubberwhale).
+SEQUENCES = [
+    "rubberwhale",
+    "Dimetrodon",
+    "Hydrangea",
+    "Venus",
+    "Grove2",
+    "Grove3",
+    "Urban2",
+    "Urban3",
+    "Teddy",
+    "Cones",
+]
+
+PREPROCESSED = {"rubberwhale": "RubberWhale", "Dimetrodon": "Dimetrodon",
+                "Hydrangea": "Hydrangea", "Venus": "Venus"}
+
+
+class Sequence(NamedTuple):
+    name: str
+    img1: np.ndarray          # (M, N) float64 grayscale, MATLAB parity
+    img2: np.ndarray          # (M, N) float64
+    gt_flow: np.ndarray | None  # (M, N, 2) float32 raw GT (may contain 1e10 unknowns)
+
+
+def data_root() -> Path:
+    root = os.environ.get("GQMAP_DATA")
+    if root:
+        return Path(root)
+    for cand in (Path("/root/reference/middlebury"), Path(__file__).resolve().parents[2] / "middlebury"):
+        if cand.is_dir():
+            return cand
+    raise FileNotFoundError(
+        "Middlebury data not found; set GQMAP_DATA to the dataset root"
+    )
+
+
+def list_sequences(with_gt: bool = True) -> list[str]:
+    root = data_root()
+    out = []
+    for name in SEQUENCES:
+        d = root / name
+        if not d.is_dir():
+            continue
+        if with_gt and not (d / "flow10.flo").is_file():
+            continue
+        out.append(name)
+    return out
+
+
+def load_sequence(name: str, scale: float = 1.0, preprocessed: bool = False) -> Sequence:
+    """Load frames (grayscale float64) + raw GT flow for a sequence."""
+    root = data_root()
+    d = root / name
+    if not d.is_dir():
+        # tolerate case differences (RubberWhale vs rubberwhale)
+        matches = [s for s in SEQUENCES if s.lower() == name.lower()]
+        if matches and (root / matches[0]).is_dir():
+            d = root / matches[0]
+            name = matches[0]
+        else:
+            raise FileNotFoundError(f"sequence {name!r} not under {root}")
+
+    if preprocessed:
+        import scipy.io
+
+        mat = scipy.io.loadmat(root / "preprocessed" / f"{PREPROCESSED[name]}.mat")
+        img1, img2 = mat["img1"].astype(np.float64), mat["img2"].astype(np.float64)
+    else:
+        img1 = rgb2gray(load_image(d / "frame10.png"))
+        img2 = rgb2gray(load_image(d / "frame11.png"))
+        if scale != 1.0:
+            from .images import imresize
+
+            img1 = imresize(img1, scale)
+            img2 = imresize(img2, scale)
+
+    flo_path = d / "flow10.flo"
+    gt = read_flo(flo_path) if flo_path.is_file() else None
+    return Sequence(name, img1, img2, gt)

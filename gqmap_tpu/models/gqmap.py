@@ -1,0 +1,471 @@
+"""The GQMAP variational inference engine (single-program XLA sweep).
+
+Rebuilds the reference solvers — ``gqmap_gpu_mixture.m`` (full-res mixture)
+and ``gqmap_gpuSuper_mix_entropy.m`` (quarter-res super lattice + entropy
+annealing) — as one configurable, jit-compiled synchronous-Jacobi engine:
+
+* per sweep, node and edge quadrature gradients are computed for the whole
+  (M, N, L) lattice in one traced XLA program (the reference's two
+  ``arrayfun`` kernel launches, ``gqmap_gpu_mixture.m:29-34``);
+* neighbor gather/scatter uses ``jnp.roll`` (== ``circshift``), which XLA's
+  SPMD partitioner lowers to collective-permutes when the lattice is
+  sharded over a device mesh;
+* sweeps run in on-device segments (``lax.while_loop``) between host
+  evaluation points, amortizing dispatch over the eval cadence
+  (``mod(it,300)`` — ``gqmap_gpu_mixture.m:52``) and honoring the
+  reference's early-stop rule ``it > its || mean|dmu| < tor`` (``:75``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FlowRange, GQMAPConfig
+from ..ops.gq import EDGE, NODE, finalize, gq_accumulate
+from ..ops.interp import pad_cubic, upsample_cubic
+from ..ops.mixture import extract_map
+from ..ops.potentials import make_edge_pot, make_node_pot_bicubic, make_node_pot_nearest
+from ..ops.quadrature import build_table
+from ..ops.simplex import project_simplex, softmax, softmax_natural_step
+
+__all__ = [
+    "GQState",
+    "Problem",
+    "SweepAux",
+    "SolveResult",
+    "init_state",
+    "make_problem",
+    "make_sweep",
+    "make_segment_runner",
+    "make_map_fn",
+    "make_logp_fn",
+    "aepe_of",
+    "solve",
+]
+
+
+class GQState(NamedTuple):
+    """Variational state: one bivariate Gaussian per (pixel, component) plus
+    per-edge correlations and global mixture logits
+    (``gqmap_gpu_mixture.m:18-24``)."""
+
+    w: jnp.ndarray        # (L,) mixture logits (or weights for projsplx mode)
+    muu: jnp.ndarray      # (M, N, L)
+    muv: jnp.ndarray      # (M, N, L)
+    sigmau: jnp.ndarray   # (M, N, L)
+    sigmav: jnp.ndarray   # (M, N, L)
+    pn: jnp.ndarray       # (M, N, L) node (u,v) correlation
+    rou: jnp.ndarray      # (M, N, L, 2, 2) edge corr [direction, channel]
+    temperature: jnp.ndarray  # scalar annealed T
+    it: jnp.ndarray       # scalar int32, 1-based iteration about to run
+
+
+class Problem(NamedTuple):
+    """Per-run constants living on device."""
+
+    I1: jnp.ndarray       # (Mo, No) frame 1 grayscale
+    I2_tab: jnp.ndarray   # pad_cubic(I2) or upsample_cubic(I2, rfc)
+    rng: FlowRange
+
+
+class SweepAux(NamedTuple):
+    energy: jnp.ndarray
+    ptdmu: jnp.ndarray
+    ptdsigma: jnp.ndarray
+
+
+def _dt(cfg: GQMAPConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def flow_lattice_shape(cfg: GQMAPConfig, image_shape) -> tuple[int, int]:
+    Mo, No = image_shape
+    if Mo % cfg.patch or No % cfg.patch:
+        raise ValueError(
+            f"image shape {image_shape} not divisible by patch={cfg.patch}"
+        )
+    return Mo // cfg.patch, No // cfg.patch
+
+
+def make_problem(cfg: GQMAPConfig, I1, I2) -> Problem:
+    dt = _dt(cfg)
+    I1 = jnp.asarray(I1, dt)
+    I2 = jnp.asarray(I2, dt)
+    if cfg.data_term == "bicubic":
+        tab = pad_cubic(I2)
+    elif cfg.data_term == "nearest":
+        tab = upsample_cubic(I2, cfg.rfc)
+    else:
+        raise ValueError(f"unknown data_term {cfg.data_term!r}")
+    return Problem(I1=I1, I2_tab=tab, rng=None)  # rng attached by caller
+
+
+def init_state(cfg: GQMAPConfig, rng: FlowRange, image_shape, seed=None) -> GQState:
+    """Random init mirroring ``gqmap_gpu_mixture.m:18-24`` (uniforms over the
+    GT-derived flow range; large sigma init; zero correlations)."""
+    dt = _dt(cfg)
+    M, N = flow_lattice_shape(cfg, image_shape)
+    L = cfg.L
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    kw, ku, kv, ksu, ksv = jax.random.split(key, 5)
+    du = rng.maxu - rng.minu
+    dv = rng.maxv - rng.minv
+    w0 = jax.random.uniform(kw, (L,), dt)
+    if cfg.alpha_update != "softmax_natural":
+        w0 = softmax(w0)  # projsplx mode stores the weights themselves
+    return GQState(
+        w=w0,
+        muu=rng.minu + jax.random.uniform(ku, (M, N, L), dt) * du,
+        muv=rng.minv + jax.random.uniform(kv, (M, N, L), dt) * dv,
+        sigmau=jax.random.uniform(ksu, (M, N, L), dt) + du,
+        sigmav=jax.random.uniform(ksv, (M, N, L), dt) + dv,
+        pn=jnp.zeros((M, N, L), dt),
+        rou=jnp.zeros((M, N, L, 2, 2), dt),
+        temperature=jnp.asarray(cfg.temperature, dt),
+        it=jnp.asarray(1, jnp.int32),
+    )
+
+
+def _interior_mask(M: int, N: int, border: int):
+    m = np.zeros((M, N), bool)
+    m[border : M - border, border : N - border] = True
+    return m
+
+
+def _node_f(cfg: GQMAPConfig, problem: Problem, extra_dims: int):
+    if cfg.data_term == "bicubic":
+        return make_node_pot_bicubic(
+            problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn,
+            patch=cfg.patch, extra_dims=extra_dims,
+        )
+    return make_node_pot_nearest(
+        problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, cfg.rfc,
+        extra_dims=extra_dims,
+    )
+
+
+def make_sweep(cfg: GQMAPConfig, problem: Problem) -> Callable[[GQState], tuple[GQState, SweepAux]]:
+    """Build the jit-able single-sweep update (one synchronous Jacobi step)."""
+    dt = _dt(cfg)
+    M, N = flow_lattice_shape(cfg, problem.I1.shape)
+    L = cfg.L
+    b = cfg.border
+    tab = build_table(cfg.K, cfg.quad_chunk, dt)
+    node_f = _node_f(cfg, problem, extra_dims=1)
+    edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
+    interior = jnp.asarray(_interior_mask(M, N, b))
+    int3 = interior[:, :, None]
+    int5 = interior[:, :, None, None, None]
+    n_interior = (M - 2 * b) * (N - 2 * b) * L
+    rngv = problem.rng
+    softmax_mode = cfg.alpha_update == "softmax_natural"
+
+    def sweep(state: GQState) -> tuple[GQState, SweepAux]:
+        it_f = state.it.astype(dt)
+        if cfg.step_const:
+            step = jnp.asarray(cfg.step0, dt)
+        else:
+            step = jnp.asarray(cfg.step0, dt) / (1.0 + it_f / jnp.asarray(cfg.step_tau, dt))
+        alpha = softmax(state.w) if softmax_mode else state.w
+        a3 = alpha.reshape(1, 1, L)
+        T = state.temperature
+
+        # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
+        raw_n = gq_accumulate(
+            node_f, state.muu, state.muv, state.sigmau, state.sigmav, state.pn, tab
+        )
+        gn = finalize(raw_n, a3, state.sigmau, state.sigmav, state.pn, T, NODE)
+
+        # --- edge kernel (:31-34, :118-146); dims (M,N,L,dir,chan) ---
+        mu = jnp.stack([state.muu, state.muv], axis=-1)       # (M,N,L,2)
+        sg = jnp.stack([state.sigmau, state.sigmav], axis=-1)
+        u1e = mu[:, :, :, None, :]
+        o1e = sg[:, :, :, None, :]
+        u2e = jnp.stack([jnp.roll(mu, -1, 0), jnp.roll(mu, -1, 1)], axis=3)
+        o2e = jnp.stack([jnp.roll(sg, -1, 0), jnp.roll(sg, -1, 1)], axis=3)
+        raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
+        ge = finalize(raw_e, a3[:, :, :, None, None], o1e, o2e, state.rou, T, EDGE)
+
+        # --- gradient assembly: endpoint-1 terms stay, endpoint-2 terms are
+        # scattered back to the neighbor that owns them (:37-40) ---
+        def assemble(dn, d1, d2, chan):
+            return (
+                dn
+                + d1[:, :, :, 0, chan]
+                + d1[:, :, :, 1, chan]
+                + jnp.roll(d2[:, :, :, 0, chan], 1, 0)
+                + jnp.roll(d2[:, :, :, 1, chan], 1, 1)
+            )
+
+        dmuu = assemble(gn.du1, ge.du1, ge.du2, 0)
+        dmuv = assemble(gn.du2, ge.du1, ge.du2, 1)
+        dsigmau = assemble(gn.do1, ge.do1, ge.do2, 0)
+        dsigmav = assemble(gn.do2, ge.do1, ge.do2, 1)
+
+        # --- clamped interior ascent (:41-46) ---
+        sstep = step * jnp.asarray(cfg.sigma_step_scale, dt)
+
+        def upd(x, dx, lo, hi, s=step, mask=int3):
+            return jnp.where(mask, jnp.clip(x + dx * s, lo, hi), x)
+
+        muu = upd(state.muu, dmuu, rngv.minu, rngv.maxu)
+        muv = upd(state.muv, dmuv, rngv.minv, rngv.maxv)
+        sigmau = upd(state.sigmau, dsigmau, cfg.sigma_min, cfg.sigma_max, sstep)
+        sigmav = upd(state.sigmav, dsigmav, cfg.sigma_min, cfg.sigma_max, sstep)
+        rou = upd(state.rou, ge.dp, -cfg.corr_tor, cfg.corr_tor, step, int5)
+        pn = upd(state.pn, gn.dp, -cfg.corr_tor, cfg.corr_tor)
+
+        # --- energy + global mixture gradient (:36, :48) ---
+        energy = jnp.sum(jnp.where(int3, gn.E, 0)) + jnp.sum(jnp.where(int5, ge.E, 0))
+        dalpha = (
+            jnp.sum(jnp.where(int3, gn.da, 0), axis=(0, 1))
+            + jnp.sum(jnp.where(int5, ge.da, 0), axis=(0, 1, 3, 4))
+        )
+
+        # --- mixture-weight update, active after alpha_start iters (:50) ---
+        if L > 1:
+            lr = step * jnp.asarray(cfg.alpha_lr_scale, dt)
+            if softmax_mode:
+                w_new = softmax_natural_step(state.w, dalpha, lr)
+            else:
+                w_new = project_simplex(state.w + dalpha * lr)
+            w = jnp.where(state.it > cfg.alpha_start, w_new, state.w)
+        else:
+            w = state.w
+
+        # --- diagnostics & annealing (:69-73) ---
+        ptdmu = jnp.sum(jnp.where(int3, jnp.abs(dmuu), 0)) / n_interior
+        ptdsigma = jnp.sum(jnp.where(int3, jnp.abs(dsigmau), 0)) / n_interior
+        if cfg.anneal_every > 0:
+            T = jnp.where(
+                state.it % cfg.anneal_every == 0,
+                jnp.maximum(T * jnp.asarray(cfg.drate, dt), jnp.asarray(cfg.t_floor, dt)),
+                T,
+            )
+
+        new = GQState(
+            w=w, muu=muu, muv=muv, sigmau=sigmau, sigmav=sigmav,
+            pn=pn, rou=rou, temperature=T, it=state.it + 1,
+        )
+        return new, SweepAux(energy=energy, ptdmu=ptdmu, ptdsigma=ptdsigma)
+
+    return sweep
+
+
+def make_segment_runner(cfg: GQMAPConfig, problem: Problem):
+    """On-device multi-sweep runner with the reference's early stop.
+
+    Runs up to ``limit`` sweeps (bounded by the eval cadence), recording the
+    per-iteration Energy and mean-|dmu| traces; stops as soon as
+    ``it > its`` or ``ptdmu < tor`` (``gqmap_gpu_mixture.m:75``).
+    Returns ``(state, n_done, energy_buf, ptdmu_buf, ptdsigma_buf, stopped)``.
+    """
+    sweep = make_sweep(cfg, problem)
+    cap = cfg.eval_every
+    dt = _dt(cfg)
+
+    @jax.jit
+    def seg(state: GQState, limit):
+        ebuf = jnp.zeros((cap,), dt)
+        pbuf = jnp.zeros((cap,), dt)
+        sbuf = jnp.zeros((cap,), dt)
+
+        def cond(c):
+            _, n, _, _, _, stop = c
+            return (n < limit) & (~stop)
+
+        def body(c):
+            st, n, eb, pb, sb, _ = c
+            st2, aux = sweep(st)
+            eb = eb.at[n].set(aux.energy)
+            pb = pb.at[n].set(aux.ptdmu)
+            sb = sb.at[n].set(aux.ptdsigma)
+            stop = (aux.ptdmu < cfg.tor) | (st2.it > cfg.its)
+            return (st2, n + 1, eb, pb, sb, stop)
+
+        init = (state, jnp.asarray(0, jnp.int32), ebuf, pbuf, sbuf, jnp.asarray(False))
+        st, n, eb, pb, sb, stop = jax.lax.while_loop(cond, body, init)
+        return st, n, eb, pb, sb, stop
+
+    return seg
+
+
+def make_map_fn(cfg: GQMAPConfig):
+    """MAP readout: mixture mode per pixel/channel (``:53-58``)."""
+
+    @jax.jit
+    def map_fn(state: GQState):
+        alpha = softmax(state.w) if cfg.alpha_update == "softmax_natural" else state.w
+        return extract_map(alpha, state.muu, state.sigmau, state.muv, state.sigmav)
+
+    return map_fn
+
+
+def make_logp_fn(cfg: GQMAPConfig, problem: Problem):
+    """True unnormalized log-posterior at a flow field (``:148-154``;
+    super variant sums node potentials over each 4x4 patch, ``node_lp``)."""
+    node_f = _node_f(cfg, problem, extra_dims=0)
+    edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
+    M, N = flow_lattice_shape(cfg, problem.I1.shape)
+    b = cfg.border
+    interior = jnp.asarray(_interior_mask(M, N, b))
+
+    @jax.jit
+    def logp(flow):
+        us = flow[..., 0]
+        vs = flow[..., 1]
+        npv = node_f(us[..., None], vs[..., None])[..., 0]
+        ep_v = edge_f(flow, jnp.roll(flow, -1, 0))
+        ep_h = edge_f(flow, jnp.roll(flow, -1, 1))
+        return (
+            jnp.sum(jnp.where(interior, npv, 0))
+            + jnp.sum(jnp.where(interior[..., None], ep_v + ep_h, 0))
+        )
+
+    return logp
+
+
+def aepe_of(cfg: GQMAPConfig, map_flow, tflow, unknown) -> float:
+    """Average endpoint error with the reference's masking/cropping.
+
+    Full-res: unknown-GT pixels zeroed, 1-px border excluded
+    (``gqmap_gpu_mixture.m:63-64``). Super: MAP upsampled by ``repelem``
+    then 4-px border crop (``gqmap_gpuSuper_mix_entropy.m:58-63``).
+    """
+    flow = np.asarray(map_flow, np.float64)
+    if cfg.patch > 1:
+        flow = np.repeat(np.repeat(flow, cfg.patch, 0), cfg.patch, 1)
+    flow = flow.copy()
+    flow[np.asarray(unknown)] = 0.0
+    t = np.asarray(tflow, np.float64)
+    c = cfg.border if cfg.patch == 1 else cfg.patch
+    sl = np.s_[c:-c, c:-c]
+    d = t[sl] - flow[sl]
+    return float(np.mean(np.sqrt((d * d).sum(-1))))
+
+
+@dataclasses.dataclass
+class SolveResult:
+    mu: np.ndarray        # (M, N, L, 2) means, cat of (muu, muv)
+    sigma: np.ndarray     # (M, N, L, 2)
+    alpha: np.ndarray     # (L,)
+    AEPE: np.ndarray      # (its,) NaN off the eval cadence
+    Energy: np.ndarray    # (its,)
+    logP: np.ndarray      # (its,) NaN off the eval cadence
+    map: np.ndarray       # (M, N, 2) final extracted MAP flow
+    best_aepe: float
+    iters: int
+    state: GQState
+
+
+def solve(
+    cfg: GQMAPConfig,
+    I1,
+    I2,
+    gt_flow=None,
+    flow_range: FlowRange | None = None,
+    seed=None,
+    out_dir=None,
+    verbose: bool = False,
+    callback=None,
+) -> SolveResult:
+    """Run the full GQMAP inference loop (entry points A/B of SURVEY.md §3).
+
+    ``gt_flow`` (raw .flo contents) drives the clamp ranges, unknown mask
+    and AEPE exactly like the driver scripts (``optical_flow.m:12-13``);
+    pass ``flow_range`` explicitly to run without ground truth.
+    """
+    from ..ops.flowviz import flow_to_color
+
+    tflow = unknown = None
+    if gt_flow is not None:
+        fc = flow_to_color(np.asarray(gt_flow))
+        tflow, unknown = fc.flo, fc.unknown
+        if flow_range is None:
+            flow_range = FlowRange(fc.minu, fc.maxu, fc.minv, fc.maxv)
+    if flow_range is None:
+        raise ValueError("need gt_flow or flow_range")
+
+    problem = make_problem(cfg, I1, I2)._replace(rng=flow_range)
+    state = init_state(cfg, flow_range, np.shape(I1), seed)
+    seg = make_segment_runner(cfg, problem)
+    map_fn = make_map_fn(cfg)
+    logp_fn = make_logp_fn(cfg, problem)
+
+    its = cfg.its
+    Energy = np.full(its, np.nan)
+    AEPE = np.full(its, np.nan)
+    logP = np.full(its, np.nan)
+    dmu_trace = np.full(its, np.nan)
+    best_aepe = math.inf
+    it_done = 0
+    last_map = None
+
+    while True:
+        next_eval = 1 if it_done == 0 else (it_done // cfg.eval_every + 1) * cfg.eval_every
+        next_eval = min(next_eval, its)
+        limit = next_eval - it_done
+        state, n, eb, pb, sb, stop = seg(state, limit)
+        n = int(n)
+        Energy[it_done : it_done + n] = np.asarray(eb)[:n]
+        dmu_trace[it_done : it_done + n] = np.asarray(pb)[:n]
+        it_done += n
+        stopped = bool(stop)
+
+        if n == limit:  # reached the eval iteration
+            last_map = np.asarray(map_fn(state))
+            lp = float(logp_fn(jnp.asarray(last_map)))
+            logP[it_done - 1] = lp
+            if tflow is not None:
+                aepe = aepe_of(cfg, last_map, tflow, unknown)
+                AEPE[it_done - 1] = aepe
+                best_aepe = min(best_aepe, aepe)
+            if out_dir is not None:
+                _write_viz(cfg, last_map, out_dir, it_done)
+            if verbose:
+                print(
+                    f"[{it_done}] dmu={dmu_trace[it_done-1]:.3e} "
+                    f"E={Energy[it_done-1]:.6e} AEPE={best_aepe:.4f} logP={lp:.6e}"
+                )
+            if callback is not None:
+                callback(it_done, state, last_map, AEPE[it_done - 1], lp)
+        if stopped or it_done >= its:
+            break
+
+    if last_map is None:
+        last_map = np.asarray(map_fn(state))
+    alpha = softmax(state.w) if cfg.alpha_update == "softmax_natural" else state.w
+    return SolveResult(
+        mu=np.stack([np.asarray(state.muu), np.asarray(state.muv)], axis=-1),
+        sigma=np.stack([np.asarray(state.sigmau), np.asarray(state.sigmav)], axis=-1),
+        alpha=np.asarray(alpha),
+        AEPE=AEPE,
+        Energy=Energy,
+        logP=logP,
+        map=last_map,
+        best_aepe=best_aepe,
+        iters=it_done,
+        state=state,
+    )
+
+
+def _write_viz(cfg: GQMAPConfig, map_flow, out_dir, it):
+    import os
+
+    import imageio.v2 as imageio
+
+    from ..ops.flowviz import flow_to_color
+
+    os.makedirs(out_dir, exist_ok=True)
+    flow = np.asarray(map_flow, np.float64)
+    if cfg.patch > 1:
+        p = cfg.patch
+        flow = np.repeat(np.repeat(flow, p, 0), p, 1)[p:-p, p:-p]
+    imageio.imwrite(os.path.join(out_dir, f"{it}.png"), flow_to_color(flow).img)

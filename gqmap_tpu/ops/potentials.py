@@ -1,0 +1,136 @@
+"""MRF potential functions for the dense-correspondence model.
+
+Node (data) potential: Charbonnier-robust brightness constancy against a
+bicubically sampled second frame (``gqmap_gpu_mixture.m:156-179``). Edge
+(smoothness) potential: Charbonnier on the neighbor flow difference
+(``:180-182``). The "Super" variant sums the node potential over a PxP patch
+of image pixels per flow node (``gqmap_gpuSuper_mix_entropy.m:94-105``).
+
+Legacy potential families are kept as first-class options so the framework
+subsumes the whole solver lineage:
+
+* ``make_node_pot_nearest`` — nearest lookup into a 2^rfc-x cubic-upsampled
+  frame (``legacy/gqmap_gpuV2.m:10,107``, ``legacy/gqmap_ctf.m:10,96``).
+* quadratic node toward an init flow + truncated-quadratic edges
+  (``legacy/gqmap_cpu.m:22-23,43``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from .interp import sample_bicubic
+
+__all__ = [
+    "make_node_pot_bicubic",
+    "make_node_pot_nearest",
+    "make_edge_pot",
+    "make_edge_pot_truncquad",
+]
+
+
+def make_node_pot_bicubic(
+    I1: jnp.ndarray,
+    VV: jnp.ndarray,
+    lambdad: float,
+    epsn: float,
+    patch: int = 1,
+    extra_dims: int = 2,
+) -> Callable:
+    """Return ``f(x1, x2) -> node potential`` over the flow lattice.
+
+    ``I1`` is the (Mo, No) first frame; ``VV = pad_cubic(I2)``. The returned
+    callable accepts displacement sample arrays of shape
+    ``(M, N) + extra + (C,)`` where ``(M, N) = (Mo, No) / patch`` and
+    ``extra`` is ``extra_dims`` broadcast axes (mixture components etc.).
+    For ``patch > 1`` each flow node sums the data potential over its
+    ``patch x patch`` pixel block (super-resolved lattice).
+    """
+    Mo, No = I1.shape
+    dtype = I1.dtype
+    lam = jnp.asarray(lambdad, dtype)
+    eps = jnp.asarray(epsn, dtype)
+    tail = (1,) * (extra_dims + 1)  # broadcast axes: extras + quadrature chunk
+    # 1-based pixel coordinate grids, broadcast over trailing axes.
+    jj = (1.0 + jnp.arange(No, dtype=dtype)).reshape((1, No) + tail)
+    ii = (1.0 + jnp.arange(Mo, dtype=dtype)).reshape((Mo, 1) + tail)
+    I1b = I1.reshape((Mo, No) + tail)
+
+    def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        if patch > 1:
+            x1 = jnp.repeat(jnp.repeat(x1, patch, axis=0), patch, axis=1)
+            x2 = jnp.repeat(jnp.repeat(x2, patch, axis=0), patch, axis=1)
+        Xq = jj + x1  # sample_bicubic clamps to [1, No] (gqmap_gpu_mixture.m:157)
+        Yq = ii + x2
+        Vq = sample_bicubic(VV, Xq, Yq)
+        npt = -lam * jnp.sqrt(eps + (I1b - Vq) ** 2)
+        if patch > 1:
+            M, N = Mo // patch, No // patch
+            npt = npt.reshape((M, patch, N, patch) + npt.shape[2:]).sum(axis=(1, 3))
+        return npt
+
+    return f
+
+
+def make_node_pot_nearest(
+    I1: jnp.ndarray,
+    I2_cont: jnp.ndarray,
+    lambdad: float,
+    epsn: float,
+    rfc: int,
+    extra_dims: int = 2,
+) -> Callable:
+    """Legacy data term: nearest lookup into the 2^rfc-x upsampled frame.
+
+    ``I2_cont = upsample_cubic(I2, rfc)``; lookup index
+    ``round((pos - 1) * 2^rfc + 1)`` clamped to the fine grid
+    (``legacy/gqmap_ctf.m:96``). MATLAB ``round`` is half-away-from-zero;
+    positions are >= ~1 so ``floor(x + 0.5)`` reproduces it.
+    """
+    Mo, No = I1.shape
+    MM, NN = I2_cont.shape
+    dtype = I1.dtype
+    lam = jnp.asarray(lambdad, dtype)
+    eps = jnp.asarray(epsn, dtype)
+    r = float(1 << rfc)
+    tail = (1,) * (extra_dims + 1)
+    jj = (1.0 + jnp.arange(No, dtype=dtype)).reshape((1, No) + tail)
+    ii = (1.0 + jnp.arange(Mo, dtype=dtype)).reshape((Mo, 1) + tail)
+    I1b = I1.reshape((Mo, No) + tail)
+    flat = I2_cont.reshape(-1)
+
+    def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        ci = jnp.clip(jnp.floor((ii + x2 - 1.0) * r + 1.5), 1, MM).astype(jnp.int32) - 1
+        cj = jnp.clip(jnp.floor((jj + x1 - 1.0) * r + 1.5), 1, NN).astype(jnp.int32) - 1
+        Vq = jnp.take(flat, ci * NN + cj)
+        return -lam * jnp.sqrt(eps + (I1b - Vq) ** 2)
+
+    return f
+
+
+def make_edge_pot(lambdas: float, epsn: float) -> Callable:
+    """Charbonnier smoothness: ``-lambdas * sqrt(epsn + (x1-x2)^2)``."""
+
+    def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        lam = jnp.asarray(lambdas, x1.dtype)
+        eps = jnp.asarray(epsn, x1.dtype)
+        return -lam * jnp.sqrt(eps + (x1 - x2) ** 2)
+
+    return f
+
+
+def make_edge_pot_truncquad(gama: float, dta: float) -> Callable:
+    """Truncated-quadratic edge potential (``legacy/gqmap_cpu.m:42-44``).
+
+    ``-(x1-x2)^2 / (2*gama)`` with differences beyond ``dta`` truncated
+    (zero beyond the cutoff, making the potential robust to discontinuities).
+    """
+
+    def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        d = x2 - x1
+        d = jnp.where(jnp.abs(d) > dta, jnp.zeros_like(d), d)
+        return -(d * d) / (2.0 * jnp.asarray(gama, x1.dtype))
+
+    return f

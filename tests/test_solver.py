@@ -1,0 +1,144 @@
+"""Engine integration tests (small synthetic problems, CPU float64)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.ndimage import gaussian_filter
+
+from gqmap_tpu import FlowRange, GQMAPConfig
+from gqmap_tpu.models.gqmap import (
+    aepe_of,
+    init_state,
+    make_logp_fn,
+    make_map_fn,
+    make_problem,
+    make_segment_runner,
+    make_sweep,
+    solve,
+)
+
+
+def shifted_pair(M=24, N=28, seed=0):
+    r = np.random.default_rng(seed)
+    I1 = gaussian_filter(r.uniform(0, 255, (M, N)), 1.5)
+    I2 = np.empty_like(I1)
+    I2[:, 1:] = I1[:, :-1]
+    I2[:, 0] = I1[:, 0]
+    gt = np.zeros((M, N, 2))
+    gt[..., 0] = 1.0
+    return I1, I2, gt
+
+
+CFG = dict(K=5, its=60, eval_every=30, dtype="float64")
+
+
+def test_solve_runs_and_is_finite():
+    I1, I2, gt = shifted_pair()
+    cfg = GQMAPConfig.full_mixture(L=2, **CFG)
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2))
+    assert res.iters == 60
+    assert np.isfinite(res.Energy[:60]).all()
+    assert np.isfinite(res.AEPE[29]) and np.isfinite(res.AEPE[59])
+    assert np.isnan(res.AEPE[10])  # off-cadence entries stay NaN
+    assert np.isfinite(res.logP[0])  # eval at it==1
+    assert res.map.shape == (24, 28, 2)
+    assert abs(res.alpha.sum() - 1) < 1e-9
+    # clamps respected
+    assert (np.abs(res.mu) <= 2 + 1e-12).all()
+    assert (res.sigma >= 0.01 - 1e-12).all() and (res.sigma <= 23 + 1e-12).all()
+
+
+def test_border_ring_frozen():
+    I1, I2, gt = shifted_pair()
+    cfg = GQMAPConfig.full_mixture(L=1, **CFG)
+    fr = FlowRange(-2, 2, -2, 2)
+    problem = make_problem(cfg, I1, I2)._replace(rng=fr)
+    s0 = init_state(cfg, fr, I1.shape)
+    sweep = jax.jit(make_sweep(cfg, problem))
+    s1, _ = sweep(s0)
+    for f in ("muu", "muv", "sigmau", "sigmav", "pn"):
+        a0, a1 = np.asarray(getattr(s0, f)), np.asarray(getattr(s1, f))
+        np.testing.assert_array_equal(a0[0], a1[0])
+        np.testing.assert_array_equal(a0[-1], a1[-1])
+        np.testing.assert_array_equal(a0[:, 0], a1[:, 0])
+        np.testing.assert_array_equal(a0[:, -1], a1[:, -1])
+        assert not np.array_equal(a0[1:-1, 1:-1], a1[1:-1, 1:-1])
+
+
+def test_accuracy_improves_on_shifted_pair():
+    # L=1 solver on an exactly-shifted pair must beat the init AEPE clearly.
+    I1, I2, gt = shifted_pair(32, 36, seed=3)
+    cfg = GQMAPConfig.full_mixture(
+        K=7, L=1, its=1500, eval_every=300, dtype="float64", step_tau=800.0
+    )
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2), seed=1)
+    first = res.AEPE[0]
+    assert res.best_aepe < 0.55 * first, (first, res.best_aepe)
+
+
+def test_early_stop_on_convergence():
+    I1, I2, gt = shifted_pair()
+    # tor high enough that mean |dmu| is immediately below it
+    cfg = GQMAPConfig.full_mixture(L=1, tor=1e9, **CFG)
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2))
+    assert res.iters == 1
+
+
+def test_super_variant_runs():
+    I1, I2, gt = shifted_pair(32, 40)  # lattice 8x10
+    cfg = GQMAPConfig.super_entropy(K=5, its=40, eval_every=20, dtype="float64")
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2))
+    assert res.map.shape == (8, 10, 2)
+    assert np.isfinite(res.Energy[:40]).all()
+    assert np.isfinite(res.AEPE[19])
+    # temperature annealed? anneal_every=500 > 40 iters, so unchanged
+    assert float(res.state.temperature) == pytest.approx(0.2)
+
+
+def test_super_annealing():
+    I1, I2, gt = shifted_pair(16, 16)
+    cfg = GQMAPConfig.super_entropy(
+        K=3, its=25, eval_every=100, anneal_every=10, dtype="float64"
+    )
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2))
+    # two decays at it=10 and it=20: 0.2 * 0.75^2
+    assert float(res.state.temperature) == pytest.approx(0.2 * 0.75**2)
+
+
+def test_energy_consistency_with_logp():
+    # With sigma at the minimum clamp and pn=rou=0 and T=0, the expected
+    # energy approaches the true log posterior of the mean flow; just check
+    # logp_fn runs and is consistent in scale with Energy.
+    I1, I2, gt = shifted_pair()
+    cfg = GQMAPConfig.full_mixture(L=1, **CFG)
+    fr = FlowRange(-2, 2, -2, 2)
+    problem = make_problem(cfg, I1, I2)._replace(rng=fr)
+    logp = make_logp_fn(cfg, problem)
+    flow = jnp.zeros((24, 28, 2), jnp.float64)
+    val = float(logp(flow))
+    assert np.isfinite(val) and val < 0
+
+
+def test_nearest_data_term_close_to_bicubic():
+    I1, I2, gt = shifted_pair()
+    fr = FlowRange(-2, 2, -2, 2)
+    outs = []
+    for dt in ("bicubic", "nearest"):
+        cfg = GQMAPConfig.full_mixture(L=1, data_term=dt, rfc=6, **CFG)
+        problem = make_problem(cfg, I1, I2)._replace(rng=fr)
+        s0 = init_state(cfg, fr, I1.shape)
+        sweep = jax.jit(make_sweep(cfg, problem))
+        s1, aux = sweep(s0)
+        outs.append(float(aux.energy))
+    # 64x-upsampled nearest lookup approximates the exact bicubic energy
+    assert abs(outs[0] - outs[1]) / abs(outs[0]) < 2e-3, outs
+
+
+def test_projsplx_alpha_mode():
+    I1, I2, gt = shifted_pair()
+    cfg = GQMAPConfig.full_mixture(
+        L=3, alpha_update="projsplx", alpha_start=0, **CFG
+    )
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2))
+    assert abs(res.alpha.sum() - 1) < 1e-9 and (res.alpha >= 0).all()
