@@ -151,23 +151,29 @@ def _node_f(cfg: GQMAPConfig, problem: Problem, extra_dims: int):
     )
 
 
-def make_sweep(cfg: GQMAPConfig, problem: Problem) -> Callable[[GQState], tuple[GQState, SweepAux]]:
-    """Build the jit-able single-sweep update (one synchronous Jacobi step)."""
+def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tuple[GQState, SweepAux]]:
+    """Build the jit-able single-sweep update (one synchronous Jacobi step).
+
+    ``image_shape`` fixes the lattice geometry; the per-run constants
+    (frames, flow range) are passed at call time as a :class:`Problem` so
+    they stay jit *arguments* — closing over concrete device arrays would
+    bake them into the compiled HLO as giant constants.
+    """
     dt = _dt(cfg)
-    M, N = flow_lattice_shape(cfg, problem.I1.shape)
+    M, N = flow_lattice_shape(cfg, image_shape)
     L = cfg.L
     b = cfg.border
     tab = build_table(cfg.K, cfg.quad_chunk, dt)
-    node_f = _node_f(cfg, problem, extra_dims=1)
     edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
     interior = jnp.asarray(_interior_mask(M, N, b))
     int3 = interior[:, :, None]
     int5 = interior[:, :, None, None, None]
     n_interior = (M - 2 * b) * (N - 2 * b) * L
-    rngv = problem.rng
     softmax_mode = cfg.alpha_update == "softmax_natural"
 
-    def sweep(state: GQState) -> tuple[GQState, SweepAux]:
+    def sweep(problem: Problem, state: GQState) -> tuple[GQState, SweepAux]:
+        node_f = _node_f(cfg, problem, extra_dims=1)
+        rngv = problem.rng
         it_f = state.it.astype(dt)
         if cfg.step_const:
             step = jnp.asarray(cfg.step0, dt)
@@ -259,7 +265,7 @@ def make_sweep(cfg: GQMAPConfig, problem: Problem) -> Callable[[GQState], tuple[
     return sweep
 
 
-def make_segment_runner(cfg: GQMAPConfig, problem: Problem):
+def make_segment_runner(cfg: GQMAPConfig, image_shape):
     """On-device multi-sweep runner with the reference's early stop.
 
     Runs up to ``limit`` sweeps (bounded by the eval cadence), recording the
@@ -267,12 +273,12 @@ def make_segment_runner(cfg: GQMAPConfig, problem: Problem):
     ``it > its`` or ``ptdmu < tor`` (``gqmap_gpu_mixture.m:75``).
     Returns ``(state, n_done, energy_buf, ptdmu_buf, ptdsigma_buf, stopped)``.
     """
-    sweep = make_sweep(cfg, problem)
+    sweep = make_sweep(cfg, image_shape)
     cap = cfg.eval_every
     dt = _dt(cfg)
 
     @jax.jit
-    def seg(state: GQState, limit):
+    def seg(problem: Problem, state: GQState, limit):
         ebuf = jnp.zeros((cap,), dt)
         pbuf = jnp.zeros((cap,), dt)
         sbuf = jnp.zeros((cap,), dt)
@@ -283,7 +289,7 @@ def make_segment_runner(cfg: GQMAPConfig, problem: Problem):
 
         def body(c):
             st, n, eb, pb, sb, _ = c
-            st2, aux = sweep(st)
+            st2, aux = sweep(problem, st)
             eb = eb.at[n].set(aux.energy)
             pb = pb.at[n].set(aux.ptdmu)
             sb = sb.at[n].set(aux.ptdsigma)
@@ -308,17 +314,17 @@ def make_map_fn(cfg: GQMAPConfig):
     return map_fn
 
 
-def make_logp_fn(cfg: GQMAPConfig, problem: Problem):
+def make_logp_fn(cfg: GQMAPConfig, image_shape):
     """True unnormalized log-posterior at a flow field (``:148-154``;
     super variant sums node potentials over each 4x4 patch, ``node_lp``)."""
-    node_f = _node_f(cfg, problem, extra_dims=0)
     edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
-    M, N = flow_lattice_shape(cfg, problem.I1.shape)
+    M, N = flow_lattice_shape(cfg, image_shape)
     b = cfg.border
     interior = jnp.asarray(_interior_mask(M, N, b))
 
     @jax.jit
-    def logp(flow):
+    def logp(problem: Problem, flow):
+        node_f = _node_f(cfg, problem, extra_dims=0)
         us = flow[..., 0]
         vs = flow[..., 1]
         npv = node_f(us[..., None], vs[..., None])[..., 0]
@@ -395,9 +401,9 @@ def solve(
 
     problem = make_problem(cfg, I1, I2)._replace(rng=flow_range)
     state = init_state(cfg, flow_range, np.shape(I1), seed)
-    seg = make_segment_runner(cfg, problem)
+    seg = make_segment_runner(cfg, np.shape(I1))
     map_fn = make_map_fn(cfg)
-    logp_fn = make_logp_fn(cfg, problem)
+    logp_fn = make_logp_fn(cfg, np.shape(I1))
 
     its = cfg.its
     Energy = np.full(its, np.nan)
@@ -412,7 +418,7 @@ def solve(
         next_eval = 1 if it_done == 0 else (it_done // cfg.eval_every + 1) * cfg.eval_every
         next_eval = min(next_eval, its)
         limit = next_eval - it_done
-        state, n, eb, pb, sb, stop = seg(state, limit)
+        state, n, eb, pb, sb, stop = seg(problem, state, limit)
         n = int(n)
         Energy[it_done : it_done + n] = np.asarray(eb)[:n]
         dmu_trace[it_done : it_done + n] = np.asarray(pb)[:n]
@@ -421,7 +427,7 @@ def solve(
 
         if n == limit:  # reached the eval iteration
             last_map = np.asarray(map_fn(state))
-            lp = float(logp_fn(jnp.asarray(last_map)))
+            lp = float(logp_fn(problem, jnp.asarray(last_map)))
             logP[it_done - 1] = lp
             if tflow is not None:
                 aepe = aepe_of(cfg, last_map, tflow, unknown)

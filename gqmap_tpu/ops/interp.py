@@ -74,9 +74,11 @@ def sample_bicubic(VV: jnp.ndarray, Xq: jnp.ndarray, Yq: jnp.ndarray) -> jnp.nda
     coordinates. Queries are clamped to ``[1, N] x [1, M]`` exactly as
     ``node_pot`` does (``gqmap_gpu_mixture.m:157-161``).
 
-    Implementation: one ``lax.gather`` of the 4x4 tap neighborhood per query
-    followed by a separable weight contraction — the TPU-native equivalent of
-    the reference's 16 scalar reads.
+    Implementation: 16 flat ``take`` taps with the separable Keys weights
+    folded in — the TPU-native equivalent of the reference's 16 scalar
+    reads. (A single ``lax.gather`` of (B, 4, 4) patches is algebraically
+    nicer but catastrophically layout-padded on TPU: trailing dims of 4 pad
+    to (4, 128) tiles, a 32x HBM blowup.)
     """
     M2, N2 = VV.shape
     M, N = M2 - 2, N2 - 2
@@ -94,29 +96,18 @@ def sample_bicubic(VV: jnp.ndarray, Xq: jnp.ndarray, Yq: jnp.ndarray) -> jnp.nda
     to = Yq - iy
     # 0-based top-left corner of the 4x4 patch in VV: row iy-1, col ix-1
     # (1-based VV row iy .. iy+3 spans the 4-neighborhood of Yq).
-    r0 = iy.astype(jnp.int32) - 1
-    c0 = ix.astype(jnp.int32) - 1
+    base = (iy.astype(jnp.int32) - 1) * N2 + (ix.astype(jnp.int32) - 1)
 
-    starts = jnp.stack([r0.reshape(-1), c0.reshape(-1)], axis=-1)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1),
-    )
-    patch = jax.lax.gather(
-        VV,
-        starts,
-        dimension_numbers=dnums,
-        slice_sizes=(4, 4),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        indices_are_sorted=False,
-        unique_indices=False,
-    )  # (B, 4, 4): patch[b, dr, dc] = VV[r0+dr, c0+dc]
-
-    ty = jnp.stack(_cubic_weights(to.reshape(-1)), axis=-1)  # (B, 4) row weights
-    tx = jnp.stack(_cubic_weights(so.reshape(-1)), axis=-1)  # (B, 4) col weights
-    Vq = jnp.einsum("brc,br,bc->b", patch, ty, tx) * jnp.asarray(0.25, dtype)
-    return Vq.reshape(shape)
+    flat = VV.reshape(-1)
+    wy = _cubic_weights(to)
+    wx = _cubic_weights(so)
+    Vq = jnp.zeros(shape, dtype)
+    for dc in range(4):
+        col = jnp.zeros(shape, dtype)
+        for dr in range(4):
+            col = col + wy[dr] * jnp.take(flat, base + (dr * N2 + dc))
+        Vq = Vq + wx[dc] * col
+    return Vq * jnp.asarray(0.25, dtype)
 
 
 def interp2_cubic(V: jnp.ndarray, Xq, Yq) -> jnp.ndarray:

@@ -1,0 +1,103 @@
+"""Shard-count invariance: N-device sharded sweep == single-device sweep.
+
+Runs on the forced-8-device CPU backend (conftest), exercising the same
+GSPMD partitioning (collective-permute halos for ``jnp.roll``, psums for the
+global reductions) the TPU mesh path uses (SURVEY.md section 4).
+"""
+
+import jax
+import numpy as np
+import pytest
+from scipy.ndimage import gaussian_filter
+
+from gqmap_tpu import FlowRange, GQMAPConfig
+from gqmap_tpu.models.gqmap import init_state, make_problem, make_sweep
+from gqmap_tpu.parallel import (
+    make_batched_sharded_sweep,
+    make_mesh,
+    make_sharded_sweep,
+    shard_state,
+    stack_states,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def problem_and_state(cfg, M=16, N=16, seed=0):
+    r = np.random.default_rng(seed)
+    I1 = gaussian_filter(r.uniform(0, 255, (M, N)), 1.5)
+    I2 = np.roll(I1, 1, axis=1)
+    fr = FlowRange(-2, 2, -2, 2)
+    problem = make_problem(cfg, I1, I2)._replace(rng=fr)
+    state = init_state(cfg, fr, I1.shape)
+    return problem, state
+
+
+def run_n(sweep, problem, state, n):
+    aux = None
+    for _ in range(n):
+        state, aux = sweep(problem, state)
+    return state, aux
+
+
+@pytest.mark.parametrize("dp", [1, 2])
+def test_sharded_equals_single(dp):
+    cfg = GQMAPConfig.full_mixture(K=5, L=2, dtype="float64")
+    problem, state = problem_and_state(cfg)
+    ref_sweep = jax.jit(make_sweep(cfg, (16, 16)))
+    s_ref, a_ref = run_n(ref_sweep, problem, state, 3)
+
+    mesh = make_mesh(8, dp=dp)  # (dp, x, y); lattice sharded over x,y
+    sh_sweep = make_sharded_sweep(cfg, (16, 16), mesh)
+    s_sh, a_sh = run_n(sh_sweep, problem, shard_state(state, mesh), 3)
+
+    for name in state._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_sh, name)),
+            np.asarray(getattr(s_ref, name)),
+            rtol=1e-9,
+            atol=1e-12,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(float(a_sh.energy), float(a_ref.energy), rtol=1e-9)
+    np.testing.assert_allclose(float(a_sh.ptdmu), float(a_ref.ptdmu), rtol=1e-9)
+
+
+def test_batched_dp_sharded():
+    cfg = GQMAPConfig.full_mixture(K=5, L=2, dtype="float64")
+    problem, s0 = problem_and_state(cfg, seed=0)
+    _, s1 = problem_and_state(cfg, seed=1)
+    batch = stack_states([s0, s1])
+
+    mesh = make_mesh(8, dp=2)
+    vsweep = make_batched_sharded_sweep(cfg, (16, 16), mesh)
+    out, aux = vsweep(problem, shard_state(batch, mesh, batched=True))
+
+    ref_sweep = jax.jit(make_sweep(cfg, (16, 16)))
+    r0, x0 = ref_sweep(problem, s0)
+    r1, x1 = ref_sweep(problem, s1)
+    np.testing.assert_allclose(np.asarray(out.muu[0]), np.asarray(r0.muu), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.muu[1]), np.asarray(r1.muu), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(aux.energy), [float(x0.energy), float(x1.energy)], rtol=1e-9
+    )
+
+
+def test_mesh_for_awkward_shapes():
+    # lattice dims that don't divide 8 devices: the shape-aware mesh picks
+    # the largest dividing factor pair and stays exact
+    from gqmap_tpu.parallel.mesh import make_mesh_for_shape
+
+    cfg = GQMAPConfig.full_mixture(K=3, L=1, dtype="float64")
+    problem, state = problem_and_state(cfg, M=18, N=22)
+    ref_sweep = jax.jit(make_sweep(cfg, (18, 22)))
+    s_ref, _ = run_n(ref_sweep, problem, state, 2)
+    mesh = make_mesh_for_shape(18, 22, 8)
+    assert mesh.devices.size > 1  # found a nontrivial decomposition
+    sh_sweep = make_sharded_sweep(cfg, (18, 22), mesh)
+    s_sh, _ = run_n(sh_sweep, problem, shard_state(state, mesh), 2)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.muu), np.asarray(s_ref.muu), rtol=1e-9, atol=1e-12
+    )

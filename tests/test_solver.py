@@ -55,8 +55,8 @@ def test_border_ring_frozen():
     fr = FlowRange(-2, 2, -2, 2)
     problem = make_problem(cfg, I1, I2)._replace(rng=fr)
     s0 = init_state(cfg, fr, I1.shape)
-    sweep = jax.jit(make_sweep(cfg, problem))
-    s1, _ = sweep(s0)
+    sweep = jax.jit(make_sweep(cfg, I1.shape))
+    s1, _ = sweep(problem, s0)
     for f in ("muu", "muv", "sigmau", "sigmav", "pn"):
         a0, a1 = np.asarray(getattr(s0, f)), np.asarray(getattr(s1, f))
         np.testing.assert_array_equal(a0[0], a1[0])
@@ -114,9 +114,9 @@ def test_energy_consistency_with_logp():
     cfg = GQMAPConfig.full_mixture(L=1, **CFG)
     fr = FlowRange(-2, 2, -2, 2)
     problem = make_problem(cfg, I1, I2)._replace(rng=fr)
-    logp = make_logp_fn(cfg, problem)
+    logp = make_logp_fn(cfg, I1.shape)
     flow = jnp.zeros((24, 28, 2), jnp.float64)
-    val = float(logp(flow))
+    val = float(logp(problem, flow))
     assert np.isfinite(val) and val < 0
 
 
@@ -128,8 +128,8 @@ def test_nearest_data_term_close_to_bicubic():
         cfg = GQMAPConfig.full_mixture(L=1, data_term=dt, rfc=6, **CFG)
         problem = make_problem(cfg, I1, I2)._replace(rng=fr)
         s0 = init_state(cfg, fr, I1.shape)
-        sweep = jax.jit(make_sweep(cfg, problem))
-        s1, aux = sweep(s0)
+        sweep = jax.jit(make_sweep(cfg, I1.shape))
+        s1, aux = sweep(problem, s0)
         outs.append(float(aux.energy))
     # 64x-upsampled nearest lookup approximates the exact bicubic energy
     assert abs(outs[0] - outs[1]) / abs(outs[0]) < 2e-3, outs
