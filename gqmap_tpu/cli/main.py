@@ -1,0 +1,163 @@
+"""Command-line interface (the reference's L5 driver scripts as commands).
+
+Subcommands:
+
+* ``run``   — solve one sequence (== ``optical_flow.m`` / ``optical_flowSuper.m``)
+* ``suite`` — run a preset over a list of sequences, print the AEPE table
+* ``ctf``   — coarse-to-fine pyramid (== ``legacy/optical_flow_ctf.m``)
+* ``sweep`` — lambda_s grid search (== ``legacy/LearnRatio.m``)
+* ``bench`` — sweep-throughput microbenchmark (one JSON line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+from ..config import GQMAPConfig
+from ..io.dataset import load_sequence
+
+PRESETS = {
+    "full_mixture": GQMAPConfig.full_mixture,
+    "super_entropy": GQMAPConfig.super_entropy,
+    "single_gaussian": GQMAPConfig.single_gaussian,
+    "ctf_level": GQMAPConfig.ctf_level,
+}
+
+
+def _cfg_from_args(args) -> GQMAPConfig:
+    cfg = PRESETS[args.preset]()
+    over = {}
+    for field in ("K", "L", "its", "lambdas", "lambdad", "temperature", "eval_every",
+                  "quad_chunk", "dtype", "seed", "data_term"):
+        v = getattr(args, field.lower(), None)
+        if v is not None:
+            over[field] = v
+    return dataclasses.replace(cfg, **over) if over else cfg
+
+
+def _add_common(p):
+    p.add_argument("--preset", default="full_mixture", choices=sorted(PRESETS))
+    p.add_argument("--its", type=int, default=None)
+    p.add_argument("--k", dest="k", type=int, default=None)
+    p.add_argument("--l", dest="l", type=int, default=None)
+    p.add_argument("--lambdas", type=float, default=None)
+    p.add_argument("--lambdad", type=float, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--eval-every", dest="eval_every", type=int, default=None)
+    p.add_argument("--quad-chunk", dest="quad_chunk", type=int, default=None)
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--data-term", dest="data_term", default=None)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--preprocessed", action="store_true")
+    p.add_argument("--out", default=None, help="directory for PNG/metrics output")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+
+
+def _fix_kl(args):
+    if getattr(args, "k", None) is not None:
+        args.K = args.k
+    if getattr(args, "l", None) is not None:
+        args.L = args.l
+
+
+def cmd_run(args):
+    from ..models.gqmap import solve
+
+    _fix_kl(args)
+    cfg = _cfg_from_args(args)
+    seq = load_sequence(args.seq, scale=args.scale, preprocessed=args.preprocessed)
+    cb = None
+    if args.out:
+        from ..evals.metrics import MetricsLogger
+
+        ml = MetricsLogger(f"{args.out}/metrics.jsonl",
+                           run_meta=dict(seq=args.seq, cfg=dataclasses.asdict(cfg)))
+        cb = ml.solver_callback(seq.img1.size)
+    res = solve(
+        cfg, seq.img1, seq.img2, gt_flow=seq.gt_flow,
+        out_dir=args.out, verbose=not args.quiet, callback=cb,
+        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
+    print(json.dumps({"seq": args.seq, "best_aepe": res.best_aepe, "iters": res.iters}))
+    if args.out:
+        np.savez(f"{args.out}/{args.seq}.npz", mu=res.mu, sigma=res.sigma,
+                 alpha=res.alpha, AEPE=res.AEPE, Energy=res.Energy, logP=res.logP,
+                 map=res.map)
+
+
+def cmd_suite(args):
+    from ..models.gqmap import solve
+
+    _fix_kl(args)
+    cfg = _cfg_from_args(args)
+    results = {}
+    for name in args.seqs.split(","):
+        seq = load_sequence(name.strip(), scale=args.scale)
+        res = solve(cfg, seq.img1, seq.img2, gt_flow=seq.gt_flow,
+                    verbose=not args.quiet)
+        results[name] = res.best_aepe
+        print(f"{name}: best AEPE = {res.best_aepe:.4f}")
+    avg = float(np.mean(list(results.values())))
+    print(json.dumps({"per_seq": results, "avg_aepe": avg}))
+
+
+def cmd_ctf(args):
+    from ..models.ctf import solve_coarse_to_fine
+
+    _fix_kl(args)
+    cfg = _cfg_from_args(args)
+    seq = load_sequence(args.seq, scale=args.scale)
+    res = solve_coarse_to_fine(cfg, seq.img1, seq.img2, seq.gt_flow,
+                               verbose=not args.quiet)
+    print(json.dumps({"seq": args.seq, "aepe": res.aepe}))
+
+
+def cmd_sweep(args):
+    from ..models.param_sweep import sweep_lambdas
+
+    _fix_kl(args)
+    cfg = _cfg_from_args(args)
+    seq = load_sequence(args.seq, scale=args.scale)
+    lo, hi, n = args.range
+    res = sweep_lambdas(cfg, seq.img1, seq.img2, seq.gt_flow,
+                        lambdas=np.linspace(lo, hi, int(n)),
+                        log_path=args.log, verbose=not args.quiet)
+    print(res.summary())
+
+
+def cmd_bench(args):
+    import subprocess
+
+    out = subprocess.run([sys.executable, "bench.py"], capture_output=True, text=True)
+    sys.stdout.write(out.stdout)
+    sys.exit(out.returncode)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="gqmap", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run");   _add_common(p); p.add_argument("--seq", required=True); p.set_defaults(fn=cmd_run)
+    p = sub.add_parser("suite"); _add_common(p); p.add_argument("--seqs", required=True); p.set_defaults(fn=cmd_suite)
+    p = sub.add_parser("ctf");   _add_common(p); p.add_argument("--seq", required=True); p.set_defaults(fn=cmd_ctf)
+    p = sub.add_parser("sweep"); _add_common(p); p.add_argument("--seq", required=True)
+    p.add_argument("--range", nargs=3, type=float, default=(0.300001, 1.0, 12))
+    p.add_argument("--log", default=None); p.set_defaults(fn=cmd_sweep)
+    p = sub.add_parser("bench"); p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,12 +57,12 @@ class GQState(NamedTuple):
     (``gqmap_gpu_mixture.m:18-24``)."""
 
     w: jnp.ndarray        # (L,) mixture logits (or weights for projsplx mode)
-    muu: jnp.ndarray      # (M, N, L)
-    muv: jnp.ndarray      # (M, N, L)
-    sigmau: jnp.ndarray   # (M, N, L)
-    sigmav: jnp.ndarray   # (M, N, L)
-    pn: jnp.ndarray       # (M, N, L) node (u,v) correlation
-    rou: jnp.ndarray      # (M, N, L, 2, 2) edge corr [direction, channel]
+    muu: jnp.ndarray      # (L, M, N)   [lattice axes trail: TPU (8,128) tiling]
+    muv: jnp.ndarray      # (L, M, N)
+    sigmau: jnp.ndarray   # (L, M, N)
+    sigmav: jnp.ndarray   # (L, M, N)
+    pn: jnp.ndarray       # (L, M, N) node (u,v) correlation
+    rou: jnp.ndarray      # (2, 2, L, M, N) edge corr [direction, channel]
     temperature: jnp.ndarray  # scalar annealed T
     it: jnp.ndarray       # scalar int32, 1-based iteration about to run
 
@@ -122,12 +122,12 @@ def init_state(cfg: GQMAPConfig, rng: FlowRange, image_shape, seed=None) -> GQSt
         w0 = softmax(w0)  # projsplx mode stores the weights themselves
     return GQState(
         w=w0,
-        muu=rng.minu + jax.random.uniform(ku, (M, N, L), dt) * du,
-        muv=rng.minv + jax.random.uniform(kv, (M, N, L), dt) * dv,
-        sigmau=jax.random.uniform(ksu, (M, N, L), dt) + du,
-        sigmav=jax.random.uniform(ksv, (M, N, L), dt) + dv,
-        pn=jnp.zeros((M, N, L), dt),
-        rou=jnp.zeros((M, N, L, 2, 2), dt),
+        muu=rng.minu + jax.random.uniform(ku, (L, M, N), dt) * du,
+        muv=rng.minv + jax.random.uniform(kv, (L, M, N), dt) * dv,
+        sigmau=jax.random.uniform(ksu, (L, M, N), dt) + du,
+        sigmav=jax.random.uniform(ksv, (L, M, N), dt) + dv,
+        pn=jnp.zeros((L, M, N), dt),
+        rou=jnp.zeros((2, 2, L, M, N), dt),
         temperature=jnp.asarray(cfg.temperature, dt),
         it=jnp.asarray(1, jnp.int32),
     )
@@ -139,15 +139,13 @@ def _interior_mask(M: int, N: int, border: int):
     return m
 
 
-def _node_f(cfg: GQMAPConfig, problem: Problem, extra_dims: int):
+def _node_f(cfg: GQMAPConfig, problem: Problem):
     if cfg.data_term == "bicubic":
         return make_node_pot_bicubic(
-            problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn,
-            patch=cfg.patch, extra_dims=extra_dims,
+            problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, patch=cfg.patch
         )
     return make_node_pot_nearest(
-        problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, cfg.rfc,
-        extra_dims=extra_dims,
+        problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, cfg.rfc
     )
 
 
@@ -165,14 +163,12 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
     b = cfg.border
     tab = build_table(cfg.K, cfg.quad_chunk, dt)
     edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
-    interior = jnp.asarray(_interior_mask(M, N, b))
-    int3 = interior[:, :, None]
-    int5 = interior[:, :, None, None, None]
+    interior = jnp.asarray(_interior_mask(M, N, b))  # (M, N), broadcasts left
     n_interior = (M - 2 * b) * (N - 2 * b) * L
     softmax_mode = cfg.alpha_update == "softmax_natural"
 
     def sweep(problem: Problem, state: GQState) -> tuple[GQState, SweepAux]:
-        node_f = _node_f(cfg, problem, extra_dims=1)
+        node_f = _node_f(cfg, problem)
         rngv = problem.rng
         it_f = state.it.astype(dt)
         if cfg.step_const:
@@ -180,7 +176,7 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
         else:
             step = jnp.asarray(cfg.step0, dt) / (1.0 + it_f / jnp.asarray(cfg.step_tau, dt))
         alpha = softmax(state.w) if softmax_mode else state.w
-        a3 = alpha.reshape(1, 1, L)
+        a3 = alpha.reshape(L, 1, 1)
         T = state.temperature
 
         # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
@@ -189,25 +185,25 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
         )
         gn = finalize(raw_n, a3, state.sigmau, state.sigmav, state.pn, T, NODE)
 
-        # --- edge kernel (:31-34, :118-146); dims (M,N,L,dir,chan) ---
-        mu = jnp.stack([state.muu, state.muv], axis=-1)       # (M,N,L,2)
-        sg = jnp.stack([state.sigmau, state.sigmav], axis=-1)
-        u1e = mu[:, :, :, None, :]
-        o1e = sg[:, :, :, None, :]
-        u2e = jnp.stack([jnp.roll(mu, -1, 0), jnp.roll(mu, -1, 1)], axis=3)
-        o2e = jnp.stack([jnp.roll(sg, -1, 0), jnp.roll(sg, -1, 1)], axis=3)
+        # --- edge kernel (:31-34, :118-146); dims (dir, chan, L, M, N) ---
+        mu = jnp.stack([state.muu, state.muv], axis=0)        # (chan, L, M, N)
+        sg = jnp.stack([state.sigmau, state.sigmav], axis=0)
+        u1e = mu[None]                                        # (1, chan, L, M, N)
+        o1e = sg[None]
+        u2e = jnp.stack([jnp.roll(mu, -1, -2), jnp.roll(mu, -1, -1)], axis=0)
+        o2e = jnp.stack([jnp.roll(sg, -1, -2), jnp.roll(sg, -1, -1)], axis=0)
         raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
-        ge = finalize(raw_e, a3[:, :, :, None, None], o1e, o2e, state.rou, T, EDGE)
+        ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
 
         # --- gradient assembly: endpoint-1 terms stay, endpoint-2 terms are
         # scattered back to the neighbor that owns them (:37-40) ---
         def assemble(dn, d1, d2, chan):
             return (
                 dn
-                + d1[:, :, :, 0, chan]
-                + d1[:, :, :, 1, chan]
-                + jnp.roll(d2[:, :, :, 0, chan], 1, 0)
-                + jnp.roll(d2[:, :, :, 1, chan], 1, 1)
+                + d1[0, chan]
+                + d1[1, chan]
+                + jnp.roll(d2[0, chan], 1, -2)
+                + jnp.roll(d2[1, chan], 1, -1)
             )
 
         dmuu = assemble(gn.du1, ge.du1, ge.du2, 0)
@@ -218,21 +214,21 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
         # --- clamped interior ascent (:41-46) ---
         sstep = step * jnp.asarray(cfg.sigma_step_scale, dt)
 
-        def upd(x, dx, lo, hi, s=step, mask=int3):
+        def upd(x, dx, lo, hi, s=step, mask=interior):
             return jnp.where(mask, jnp.clip(x + dx * s, lo, hi), x)
 
         muu = upd(state.muu, dmuu, rngv.minu, rngv.maxu)
         muv = upd(state.muv, dmuv, rngv.minv, rngv.maxv)
         sigmau = upd(state.sigmau, dsigmau, cfg.sigma_min, cfg.sigma_max, sstep)
         sigmav = upd(state.sigmav, dsigmav, cfg.sigma_min, cfg.sigma_max, sstep)
-        rou = upd(state.rou, ge.dp, -cfg.corr_tor, cfg.corr_tor, step, int5)
+        rou = upd(state.rou, ge.dp, -cfg.corr_tor, cfg.corr_tor, step, interior)
         pn = upd(state.pn, gn.dp, -cfg.corr_tor, cfg.corr_tor)
 
         # --- energy + global mixture gradient (:36, :48) ---
-        energy = jnp.sum(jnp.where(int3, gn.E, 0)) + jnp.sum(jnp.where(int5, ge.E, 0))
+        energy = jnp.sum(jnp.where(interior, gn.E, 0)) + jnp.sum(jnp.where(interior, ge.E, 0))
         dalpha = (
-            jnp.sum(jnp.where(int3, gn.da, 0), axis=(0, 1))
-            + jnp.sum(jnp.where(int5, ge.da, 0), axis=(0, 1, 3, 4))
+            jnp.sum(jnp.where(interior, gn.da, 0), axis=(-2, -1))
+            + jnp.sum(jnp.where(interior, ge.da, 0), axis=(0, 1, -2, -1))
         )
 
         # --- mixture-weight update, active after alpha_start iters (:50) ---
@@ -247,8 +243,8 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
             w = state.w
 
         # --- diagnostics & annealing (:69-73) ---
-        ptdmu = jnp.sum(jnp.where(int3, jnp.abs(dmuu), 0)) / n_interior
-        ptdsigma = jnp.sum(jnp.where(int3, jnp.abs(dsigmau), 0)) / n_interior
+        ptdmu = jnp.sum(jnp.where(interior, jnp.abs(dmuu), 0)) / n_interior
+        ptdsigma = jnp.sum(jnp.where(interior, jnp.abs(dsigmau), 0)) / n_interior
         if cfg.anneal_every > 0:
             T = jnp.where(
                 state.it % cfg.anneal_every == 0,
@@ -324,15 +320,16 @@ def make_logp_fn(cfg: GQMAPConfig, image_shape):
 
     @jax.jit
     def logp(problem: Problem, flow):
-        node_f = _node_f(cfg, problem, extra_dims=0)
+        node_f = _node_f(cfg, problem)
         us = flow[..., 0]
         vs = flow[..., 1]
-        npv = node_f(us[..., None], vs[..., None])[..., 0]
-        ep_v = edge_f(flow, jnp.roll(flow, -1, 0))
-        ep_h = edge_f(flow, jnp.roll(flow, -1, 1))
+        npv = node_f(us, vs)
+        uv = jnp.moveaxis(flow, -1, 0)  # (chan, M, N)
+        ep_v = edge_f(uv, jnp.roll(uv, -1, -2))
+        ep_h = edge_f(uv, jnp.roll(uv, -1, -1))
         return (
             jnp.sum(jnp.where(interior, npv, 0))
-            + jnp.sum(jnp.where(interior[..., None], ep_v + ep_h, 0))
+            + jnp.sum(jnp.where(interior, ep_v + ep_h, 0))
         )
 
     return logp
@@ -381,13 +378,24 @@ def solve(
     out_dir=None,
     verbose: bool = False,
     callback=None,
+    init: GQState | None = None,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> SolveResult:
     """Run the full GQMAP inference loop (entry points A/B of SURVEY.md §3).
 
     ``gt_flow`` (raw .flo contents) drives the clamp ranges, unknown mask
     and AEPE exactly like the driver scripts (``optical_flow.m:12-13``);
     pass ``flow_range`` explicitly to run without ground truth.
+
+    Checkpointing: with ``checkpoint_path`` set, the full state is written
+    every ``checkpoint_every`` iterations (0 = only at the end); with
+    ``resume=True`` an existing checkpoint restarts the run mid-schedule
+    (exact state, iteration counter and annealed temperature).
     """
+    import os
+
     from ..ops.flowviz import flow_to_color
 
     tflow = unknown = None
@@ -400,7 +408,14 @@ def solve(
         raise ValueError("need gt_flow or flow_range")
 
     problem = make_problem(cfg, I1, I2)._replace(rng=flow_range)
-    state = init_state(cfg, flow_range, np.shape(I1), seed)
+    if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from ..utils.checkpoint import load_checkpoint
+
+        state, _, _ = load_checkpoint(checkpoint_path, expect_cfg=cfg)
+    elif init is not None:
+        state = init
+    else:
+        state = init_state(cfg, flow_range, np.shape(I1), seed)
     seg = make_segment_runner(cfg, np.shape(I1))
     map_fn = make_map_fn(cfg)
     logp_fn = make_logp_fn(cfg, np.shape(I1))
@@ -411,10 +426,22 @@ def solve(
     logP = np.full(its, np.nan)
     dmu_trace = np.full(its, np.nan)
     best_aepe = math.inf
-    it_done = 0
+    it_done = int(state.it) - 1  # >0 when resuming from a checkpoint
     last_map = None
 
-    while True:
+    last_saved = it_done
+
+    def _maybe_checkpoint(force=False):
+        nonlocal last_saved
+        if checkpoint_path is None:
+            return
+        if force or (checkpoint_every and it_done - last_saved >= checkpoint_every):
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, state, cfg, best_aepe=best_aepe)
+            last_saved = it_done
+
+    while it_done < its:
         next_eval = 1 if it_done == 0 else (it_done // cfg.eval_every + 1) * cfg.eval_every
         next_eval = min(next_eval, its)
         limit = next_eval - it_done
@@ -442,15 +469,25 @@ def solve(
                 )
             if callback is not None:
                 callback(it_done, state, last_map, AEPE[it_done - 1], lp)
+        _maybe_checkpoint()
         if stopped or it_done >= its:
             break
 
+    _maybe_checkpoint(force=checkpoint_path is not None)
     if last_map is None:
         last_map = np.asarray(map_fn(state))
     alpha = softmax(state.w) if cfg.alpha_update == "softmax_natural" else state.w
+    mu_api = np.stack(
+        [np.moveaxis(np.asarray(state.muu), 0, -1), np.moveaxis(np.asarray(state.muv), 0, -1)],
+        axis=-1,
+    )
+    sg_api = np.stack(
+        [np.moveaxis(np.asarray(state.sigmau), 0, -1), np.moveaxis(np.asarray(state.sigmav), 0, -1)],
+        axis=-1,
+    )
     return SolveResult(
-        mu=np.stack([np.asarray(state.muu), np.asarray(state.muv)], axis=-1),
-        sigma=np.stack([np.asarray(state.sigmau), np.asarray(state.sigmav)], axis=-1),
+        mu=mu_api,
+        sigma=sg_api,
         alpha=np.asarray(alpha),
         AEPE=AEPE,
         Energy=Energy,

@@ -74,11 +74,14 @@ def sample_bicubic(VV: jnp.ndarray, Xq: jnp.ndarray, Yq: jnp.ndarray) -> jnp.nda
     coordinates. Queries are clamped to ``[1, N] x [1, M]`` exactly as
     ``node_pot`` does (``gqmap_gpu_mixture.m:157-161``).
 
-    Implementation: 16 flat ``take`` taps with the separable Keys weights
-    folded in — the TPU-native equivalent of the reference's 16 scalar
-    reads. (A single ``lax.gather`` of (B, 4, 4) patches is algebraically
-    nicer but catastrophically layout-padded on TPU: trailing dims of 4 pad
-    to (4, 128) tiles, a 32x HBM blowup.)
+    Implementation: ONE flat ``take`` over a stacked 16-offset index array,
+    then the separable Keys weight contraction — the TPU-native equivalent
+    of the reference's 16 scalar reads. Two formulations that look
+    equivalent are catastrophically slow on TPU: a ``lax.gather`` of
+    (B, 4, 4) patches gets layout-padded to (4, 128) tiles (32x HBM), and
+    16 *separate* take ops fused into one program fall off XLA's fast
+    gather path (~10^4x slower than a single batched take, measured on
+    v5e).
     """
     M2, N2 = VV.shape
     M, N = M2 - 2, N2 - 2
@@ -98,15 +101,18 @@ def sample_bicubic(VV: jnp.ndarray, Xq: jnp.ndarray, Yq: jnp.ndarray) -> jnp.nda
     # (1-based VV row iy .. iy+3 spans the 4-neighborhood of Yq).
     base = (iy.astype(jnp.int32) - 1) * N2 + (ix.astype(jnp.int32) - 1)
 
-    flat = VV.reshape(-1)
+    offs = np.array(
+        [dr * N2 + dc for dc in range(4) for dr in range(4)], np.int32
+    ).reshape((16,) + (1,) * base.ndim)
+    taps = jnp.take(VV.reshape(-1), offs + base[None])  # (16,) + shape
     wy = _cubic_weights(to)
     wx = _cubic_weights(so)
     Vq = jnp.zeros(shape, dtype)
+    k = 0
     for dc in range(4):
-        col = jnp.zeros(shape, dtype)
         for dr in range(4):
-            col = col + wy[dr] * jnp.take(flat, base + (dr * N2 + dc))
-        Vq = Vq + wx[dc] * col
+            Vq = Vq + taps[k] * (wx[dc] * wy[dr])
+            k += 1
     return Vq * jnp.asarray(0.25, dtype)
 
 

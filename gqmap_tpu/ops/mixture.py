@@ -79,13 +79,13 @@ def mixture_mode_1d(alpha, mu, sigma, iters: int = 80):
 
 
 def extract_map(alpha, muu, sigmau, muv, sigmav):
-    """Flow MAP per pixel: ``(M, N, 2)`` from ``(M, N, L)`` state arrays.
+    """Flow MAP per pixel: ``(M, N, 2)`` from ``(L, M, N)`` state arrays.
 
     Equivalent of ``get_map_mex(alf, mu_u, sig_u, mu_v, sig_v)``
     (``gqmap_gpu_mixture.m:53-58``). For ``L == 1`` the mode is the mean.
     """
-    if muu.shape[-1] == 1:
-        return jnp.stack([muu[..., 0], muv[..., 0]], axis=-1)
-    u = mixture_mode_1d(alpha, muu, sigmau)
-    v = mixture_mode_1d(alpha, muv, sigmav)
+    if muu.shape[0] == 1:
+        return jnp.stack([muu[0], muv[0]], axis=-1)
+    u = mixture_mode_1d(alpha, jnp.moveaxis(muu, 0, -1), jnp.moveaxis(sigmau, 0, -1))
+    v = mixture_mode_1d(alpha, jnp.moveaxis(muv, 0, -1), jnp.moveaxis(sigmav, 0, -1))
     return jnp.stack([u, v], axis=-1)

@@ -6,6 +6,10 @@ bicubically sampled second frame (``gqmap_gpu_mixture.m:156-179``). Edge
 (``:180-182``). The "Super" variant sums the node potential over a PxP patch
 of image pixels per flow node (``gqmap_gpuSuper_mix_entropy.m:94-105``).
 
+Layout convention (TPU-native): the lattice axes (M, N) are the TRAILING
+two axes of every array; quadrature-chunk / mixture-component / edge axes
+lead. Trailing small axes would be padded to the (8, 128) native tile.
+
 Legacy potential families are kept as first-class options so the framework
 subsumes the whole solver lineage:
 
@@ -37,38 +41,36 @@ def make_node_pot_bicubic(
     lambdad: float,
     epsn: float,
     patch: int = 1,
-    extra_dims: int = 2,
 ) -> Callable:
     """Return ``f(x1, x2) -> node potential`` over the flow lattice.
 
     ``I1`` is the (Mo, No) first frame; ``VV = pad_cubic(I2)``. The returned
     callable accepts displacement sample arrays of shape
-    ``(M, N) + extra + (C,)`` where ``(M, N) = (Mo, No) / patch`` and
-    ``extra`` is ``extra_dims`` broadcast axes (mixture components etc.).
-    For ``patch > 1`` each flow node sums the data potential over its
-    ``patch x patch`` pixel block (super-resolved lattice).
+    ``lead + (M, N)`` where ``(M, N) = (Mo, No) / patch`` and ``lead`` is
+    any number of leading broadcast axes (quadrature chunk, mixture
+    components, ...). For ``patch > 1`` each flow node sums the data
+    potential over its ``patch x patch`` pixel block (super lattice).
     """
     Mo, No = I1.shape
     dtype = I1.dtype
     lam = jnp.asarray(lambdad, dtype)
     eps = jnp.asarray(epsn, dtype)
-    tail = (1,) * (extra_dims + 1)  # broadcast axes: extras + quadrature chunk
-    # 1-based pixel coordinate grids, broadcast over trailing axes.
-    jj = (1.0 + jnp.arange(No, dtype=dtype)).reshape((1, No) + tail)
-    ii = (1.0 + jnp.arange(Mo, dtype=dtype)).reshape((Mo, 1) + tail)
-    I1b = I1.reshape((Mo, No) + tail)
+    # 1-based pixel coordinate grids; trailing (M, N) broadcasting.
+    jj = (1.0 + jnp.arange(No, dtype=dtype)).reshape(1, No)
+    ii = (1.0 + jnp.arange(Mo, dtype=dtype)).reshape(Mo, 1)
 
     def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
         if patch > 1:
-            x1 = jnp.repeat(jnp.repeat(x1, patch, axis=0), patch, axis=1)
-            x2 = jnp.repeat(jnp.repeat(x2, patch, axis=0), patch, axis=1)
+            x1 = jnp.repeat(jnp.repeat(x1, patch, axis=-2), patch, axis=-1)
+            x2 = jnp.repeat(jnp.repeat(x2, patch, axis=-2), patch, axis=-1)
         Xq = jj + x1  # sample_bicubic clamps to [1, No] (gqmap_gpu_mixture.m:157)
         Yq = ii + x2
         Vq = sample_bicubic(VV, Xq, Yq)
-        npt = -lam * jnp.sqrt(eps + (I1b - Vq) ** 2)
+        npt = -lam * jnp.sqrt(eps + (I1 - Vq) ** 2)
         if patch > 1:
             M, N = Mo // patch, No // patch
-            npt = npt.reshape((M, patch, N, patch) + npt.shape[2:]).sum(axis=(1, 3))
+            lead = npt.shape[:-2]
+            npt = npt.reshape(lead + (M, patch, N, patch)).sum(axis=(-3, -1))
         return npt
 
     return f
@@ -80,7 +82,6 @@ def make_node_pot_nearest(
     lambdad: float,
     epsn: float,
     rfc: int,
-    extra_dims: int = 2,
 ) -> Callable:
     """Legacy data term: nearest lookup into the 2^rfc-x upsampled frame.
 
@@ -95,17 +96,15 @@ def make_node_pot_nearest(
     lam = jnp.asarray(lambdad, dtype)
     eps = jnp.asarray(epsn, dtype)
     r = float(1 << rfc)
-    tail = (1,) * (extra_dims + 1)
-    jj = (1.0 + jnp.arange(No, dtype=dtype)).reshape((1, No) + tail)
-    ii = (1.0 + jnp.arange(Mo, dtype=dtype)).reshape((Mo, 1) + tail)
-    I1b = I1.reshape((Mo, No) + tail)
+    jj = (1.0 + jnp.arange(No, dtype=dtype)).reshape(1, No)
+    ii = (1.0 + jnp.arange(Mo, dtype=dtype)).reshape(Mo, 1)
     flat = I2_cont.reshape(-1)
 
     def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
         ci = jnp.clip(jnp.floor((ii + x2 - 1.0) * r + 1.5), 1, MM).astype(jnp.int32) - 1
         cj = jnp.clip(jnp.floor((jj + x1 - 1.0) * r + 1.5), 1, NN).astype(jnp.int32) - 1
         Vq = jnp.take(flat, ci * NN + cj)
-        return -lam * jnp.sqrt(eps + (I1b - Vq) ** 2)
+        return -lam * jnp.sqrt(eps + (I1 - Vq) ** 2)
 
     return f
 

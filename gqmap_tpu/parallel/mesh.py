@@ -88,12 +88,12 @@ def state_sharding(mesh: Mesh, batched: bool = False) -> GQState:
 
     return GQState(
         w=s(None),
-        muu=s("x", "y", None),
-        muv=s("x", "y", None),
-        sigmau=s("x", "y", None),
-        sigmav=s("x", "y", None),
-        pn=s("x", "y", None),
-        rou=s("x", "y", None, None, None),
+        muu=s(None, "x", "y"),
+        muv=s(None, "x", "y"),
+        sigmau=s(None, "x", "y"),
+        sigmav=s(None, "x", "y"),
+        pn=s(None, "x", "y"),
+        rou=s(None, None, None, "x", "y"),
         temperature=s(),
         it=s(),
     )

@@ -72,10 +72,10 @@ def scipy_mixture_mode(alpha, mu, sigma):
 
 
 def test_mixture_mode_single_component():
-    mu = jnp.asarray(np.random.default_rng(0).normal(size=(5, 6, 1)))
-    sg = jnp.ones((5, 6, 1))
+    mu = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 6)))  # (L, M, N)
+    sg = jnp.ones((1, 5, 6))
     out = extract_map(jnp.ones(1), mu, sg, mu, sg)
-    np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(mu[..., 0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(mu[0]), atol=1e-12)
 
 
 def test_mixture_mode_matches_scipy():

@@ -1,0 +1,115 @@
+"""Coarse-to-fine, block matching, checkpoint/resume, metrics, CLI."""
+
+import json
+
+import numpy as np
+import pytest
+from scipy.ndimage import gaussian_filter
+
+from gqmap_tpu import FlowRange, GQMAPConfig
+from gqmap_tpu.models.blockmatch import block_matching_init, gaussian_window
+from gqmap_tpu.models.ctf import solve_coarse_to_fine
+from gqmap_tpu.models.gqmap import solve
+from gqmap_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def shifted_pair(M, N, dx=2, dy=0, seed=0, smooth=2.0):
+    r = np.random.default_rng(seed)
+    I1 = gaussian_filter(r.uniform(0, 255, (M, N)), smooth)
+    I2 = np.roll(np.roll(I1, dx, axis=1), dy, axis=0)
+    gt = np.zeros((M, N, 2))
+    gt[..., 0] = dx
+    gt[..., 1] = dy
+    return I1, I2, gt
+
+
+def test_gaussian_window_matches_reference_formula():
+    g = gaussian_window(7, 1.7)
+    assert g.shape == (7, 7)
+    assert abs(g.sum() - 1) < 1e-12
+    assert g[3, 3] == g.max()
+    np.testing.assert_allclose(g, g.T)
+    # literal value check against the MATLAB loop formula
+    want_center = 1.0
+    want_corner = np.exp(-(9 + 9) / (2 * 1.7**2))
+    np.testing.assert_allclose(g[0, 0] / g[3, 3], want_corner / want_center, rtol=1e-12)
+
+
+def test_block_matching_recovers_integer_shift():
+    I1, I2, gt = shifted_pair(48, 64, dx=3, dy=-2, smooth=1.0)
+    flow = block_matching_init(I1, I2, U=5, V=5)
+    inner = np.s_[8:-8, 8:-8]
+    assert np.median(flow[inner + (0,)]) == 3.0
+    assert np.median(flow[inner + (1,)]) == -2.0
+
+
+def test_ctf_runs_and_improves():
+    # smoothly varying horizontal flow in [0, 3] (a constant-GT pair is
+    # degenerate: the reference clamps each level to the *full* GT value
+    # range, which then cannot represent the zero residual)
+    M = N = 64
+    r = np.random.default_rng(4)
+    I1 = gaussian_filter(r.uniform(0, 255, (M, N)), 2.0)
+    yy, xx = np.mgrid[0:M, 0:N].astype(float)
+    u = 1.5 + 1.5 * np.cos(2 * np.pi * yy / M)
+    from gqmap_tpu.ops.interp import interp2_linear, fill_missing_nearest
+    import jax.numpy as jnp
+
+    # backward-generate frame 2: I1(i,j) == I2(i, j+u) approximately
+    I2 = np.asarray(fill_missing_nearest(
+        interp2_linear(jnp.asarray(I1), (xx + 1) - u, yy + 1)))
+    gt = np.stack([u, np.zeros_like(u)], -1)
+    cfg = GQMAPConfig.ctf_level(K=5, its=150, eval_every=75, dtype="float64")
+    res = solve_coarse_to_fine(cfg, I1, I2, gt, scales=(0.5, 1.0))
+    assert res.flow.shape == (M, N, 2)
+    assert np.isfinite(res.aepe)
+    assert res.aepe < 1.3  # mean |gt| is ~1.7; must do clearly better
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gqmap_tpu.models.gqmap import init_state
+
+    cfg = GQMAPConfig.full_mixture(K=3, L=2, dtype="float64")
+    fr = FlowRange(-1, 1, -1, 1)
+    st = init_state(cfg, fr, (12, 12))
+    p = tmp_path / "ck.npz"
+    save_checkpoint(p, st, cfg, best_aepe=1.5)
+    st2, cfg2, extras = load_checkpoint(p, expect_cfg=cfg)
+    assert cfg2 == cfg
+    assert float(extras["best_aepe"]) == 1.5
+    for f in st._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(st, f)), np.asarray(getattr(st2, f)))
+
+
+def test_solve_resume_exact(tmp_path):
+    I1, I2, gt = shifted_pair(20, 24)
+    fr = FlowRange(-2, 2, -2, 2)
+    cfg40 = GQMAPConfig.full_mixture(K=3, L=1, its=40, eval_every=20, dtype="float64")
+    full = solve(cfg40, I1, I2, gt_flow=gt, flow_range=fr)
+
+    cfg20 = GQMAPConfig.full_mixture(K=3, L=1, its=20, eval_every=20, dtype="float64")
+    ck = tmp_path / "ck.npz"
+    solve(cfg20, I1, I2, gt_flow=gt, flow_range=fr, checkpoint_path=ck)
+    resumed = solve(cfg40, I1, I2, gt_flow=gt, flow_range=fr,
+                    checkpoint_path=None, resume=False,
+                    init=load_checkpoint(ck)[0])
+    np.testing.assert_allclose(resumed.mu, full.mu, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(resumed.sigma, full.sigma, rtol=1e-12, atol=1e-12)
+
+
+def test_metrics_logger(tmp_path):
+    from gqmap_tpu.evals.metrics import MetricsLogger
+
+    p = tmp_path / "m.jsonl"
+    ml = MetricsLogger(p, run_meta={"seq": "x"})
+    ml.log(event="eval", it=1, aepe=0.5)
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[0]["event"] == "run_start"
+    assert lines[1]["aepe"] == 0.5
+
+
+def test_cli_parses(capsys):
+    from gqmap_tpu.cli.main import main
+
+    with pytest.raises(SystemExit):
+        main(["--help"])
