@@ -68,10 +68,17 @@ class GQState(NamedTuple):
 
 
 class Problem(NamedTuple):
-    """Per-run constants living on device."""
+    """Per-run constants living on device.
+
+    Everything a sweep reads besides the state must be HERE (a jit
+    argument): arrays captured by closure become embedded HLO constants,
+    which this runtime re-materializes per execution (measured ~1.3 s/call
+    for a 42 KB mask) and which blow up compile times.
+    """
 
     I1: jnp.ndarray       # (Mo, No) frame 1 grayscale
     I2_tab: jnp.ndarray   # pad_cubic(I2) or upsample_cubic(I2, rfc)
+    interior: jnp.ndarray # (M, N) bool: updatable lattice sites
     rng: FlowRange
 
 
@@ -104,7 +111,9 @@ def make_problem(cfg: GQMAPConfig, I1, I2) -> Problem:
         tab = upsample_cubic(I2, cfg.rfc)
     else:
         raise ValueError(f"unknown data_term {cfg.data_term!r}")
-    return Problem(I1=I1, I2_tab=tab, rng=None)  # rng attached by caller
+    M, N = flow_lattice_shape(cfg, I1.shape)
+    interior = jnp.asarray(_interior_mask(M, N, cfg.border))
+    return Problem(I1=I1, I2_tab=tab, interior=interior, rng=None)
 
 
 def init_state(cfg: GQMAPConfig, rng: FlowRange, image_shape, seed=None) -> GQState:
@@ -163,13 +172,13 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
     b = cfg.border
     tab = build_table(cfg.K, cfg.quad_chunk, dt)
     edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
-    interior = jnp.asarray(_interior_mask(M, N, b))  # (M, N), broadcasts left
     n_interior = (M - 2 * b) * (N - 2 * b) * L
     softmax_mode = cfg.alpha_update == "softmax_natural"
 
     def sweep(problem: Problem, state: GQState) -> tuple[GQState, SweepAux]:
         node_f = _node_f(cfg, problem)
         rngv = problem.rng
+        interior = problem.interior  # (M, N), broadcasts left
         it_f = state.it.astype(dt)
         if cfg.step_const:
             step = jnp.asarray(cfg.step0, dt)
@@ -314,13 +323,11 @@ def make_logp_fn(cfg: GQMAPConfig, image_shape):
     """True unnormalized log-posterior at a flow field (``:148-154``;
     super variant sums node potentials over each 4x4 patch, ``node_lp``)."""
     edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
-    M, N = flow_lattice_shape(cfg, image_shape)
-    b = cfg.border
-    interior = jnp.asarray(_interior_mask(M, N, b))
 
     @jax.jit
     def logp(problem: Problem, flow):
         node_f = _node_f(cfg, problem)
+        interior = problem.interior
         us = flow[..., 0]
         vs = flow[..., 1]
         npv = node_f(us, vs)

@@ -130,11 +130,32 @@ def upsample_cubic(V: jnp.ndarray, rfc: int) -> jnp.ndarray:
     """
     M, N = V.shape
     r = 1 << rfc
-    ys = 1.0 + jnp.arange((M - 1) * r + 1, dtype=V.dtype) / r
-    xs = 1.0 + jnp.arange((N - 1) * r + 1, dtype=V.dtype) / r
+    dtype = V.dtype
     VV = pad_cubic(V)
-    # Row-chunked evaluation to bound peak memory on large refinements.
-    return sample_bicubic(VV, xs[None, :], ys[:, None])
+
+    # The refined grid is REGULAR: the fractional offset cycles with period
+    # r, so the whole upsample is a separable phase-stencil — per phase, a
+    # 4-tap weighted sum of shifted arrays (gather-free: arbitrary-index
+    # gathers run at scalar rate on TPU, but shifts are free).
+    fr = jnp.arange(r, dtype=dtype) / r                      # (r,)
+    w = jnp.stack(_cubic_weights(fr), axis=0) * 0.5          # (4, r)
+
+    # vertical pass: rows 1..M-1 (1-based base iy) x r phases + final row.
+    # Base row iy = 1 + i (i in 0..M-2) uses VV rows i .. i+3 (0-based).
+    vert = sum(
+        w[t][None, :, None] * VV[t : t + M - 1, :][:, None, :] for t in range(4)
+    )  # (M-1, r, N+2)
+    vert = vert.reshape((M - 1) * r, N + 2)
+    vert = jnp.concatenate([vert, VV[M : M + 1, :]], axis=0)  # exact last row
+    rows = (M - 1) * r + 1
+
+    # horizontal pass on the vertically refined field.
+    horiz = sum(
+        w[t][None, None, :] * vert[:, t : t + N - 1][:, :, None] for t in range(4)
+    )  # (rows, N-1, r)
+    horiz = horiz.reshape(rows, (N - 1) * r)
+    out = jnp.concatenate([horiz, vert[:, N : N + 1]], axis=1)
+    return out
 
 
 def interp2_linear(V: jnp.ndarray, Xq, Yq, fill=np.nan) -> jnp.ndarray:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from .interp import sample_bicubic
@@ -55,11 +56,11 @@ def make_node_pot_bicubic(
     dtype = I1.dtype
     lam = jnp.asarray(lambdad, dtype)
     eps = jnp.asarray(epsn, dtype)
-    # 1-based pixel coordinate grids; trailing (M, N) broadcasting.
-    jj = (1.0 + jnp.arange(No, dtype=dtype)).reshape(1, No)
-    ii = (1.0 + jnp.arange(Mo, dtype=dtype)).reshape(Mo, 1)
-
     def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        # 1-based coordinate grids as iota ops (NOT trace-time constants:
+        # embedded array constants are pathologically slow on some runtimes)
+        jj = 1.0 + jax.lax.broadcasted_iota(dtype, (1, No), 1)
+        ii = 1.0 + jax.lax.broadcasted_iota(dtype, (Mo, 1), 0)
         if patch > 1:
             x1 = jnp.repeat(jnp.repeat(x1, patch, axis=-2), patch, axis=-1)
             x2 = jnp.repeat(jnp.repeat(x2, patch, axis=-2), patch, axis=-1)
@@ -96,11 +97,11 @@ def make_node_pot_nearest(
     lam = jnp.asarray(lambdad, dtype)
     eps = jnp.asarray(epsn, dtype)
     r = float(1 << rfc)
-    jj = (1.0 + jnp.arange(No, dtype=dtype)).reshape(1, No)
-    ii = (1.0 + jnp.arange(Mo, dtype=dtype)).reshape(Mo, 1)
     flat = I2_cont.reshape(-1)
 
     def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        jj = 1.0 + jax.lax.broadcasted_iota(dtype, (1, No), 1)
+        ii = 1.0 + jax.lax.broadcasted_iota(dtype, (Mo, 1), 0)
         ci = jnp.clip(jnp.floor((ii + x2 - 1.0) * r + 1.5), 1, MM).astype(jnp.int32) - 1
         cj = jnp.clip(jnp.floor((jj + x1 - 1.0) * r + 1.5), 1, NN).astype(jnp.int32) - 1
         Vq = jnp.take(flat, ci * NN + cj)

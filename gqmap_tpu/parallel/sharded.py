@@ -35,7 +35,7 @@ def problem_sharding(mesh: Mesh) -> Problem:
     rep = NamedSharding(mesh, P())
     from ..config import FlowRange
 
-    return Problem(I1=rep, I2_tab=rep, rng=FlowRange(rep, rep, rep, rep))
+    return Problem(I1=rep, I2_tab=rep, interior=rep, rng=FlowRange(rep, rep, rep, rep))
 
 
 def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
@@ -43,6 +43,7 @@ def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
     return Problem(
         I1=jax.device_put(problem.I1, rep),
         I2_tab=jax.device_put(problem.I2_tab, rep),
+        interior=jax.device_put(problem.interior, rep),
         rng=problem.rng,
     )
 

@@ -133,3 +133,17 @@ def test_fill_missing_nearest():
     A2[1, 1] = 5.0
     got2 = np.asarray(fill_missing_nearest(jnp.asarray(A2)))
     assert (got2 == 5.0).all()
+
+
+def test_upsample_phase_stencil_matches_direct_sampling(image):
+    from gqmap_tpu.ops.interp import pad_cubic, sample_bicubic, upsample_cubic
+
+    fine = np.asarray(upsample_cubic(jnp.asarray(image), 2))
+    M, N = image.shape
+    r = 4
+    ys = 1.0 + np.arange((M - 1) * r + 1) / r
+    xs = 1.0 + np.arange((N - 1) * r + 1) / r
+    direct = np.asarray(
+        sample_bicubic(pad_cubic(jnp.asarray(image)), jnp.asarray(xs)[None, :], jnp.asarray(ys)[:, None])
+    )
+    np.testing.assert_allclose(fine, direct, rtol=1e-12, atol=1e-9)
