@@ -36,6 +36,7 @@ from ..ops.quadrature import build_table
 from ..ops.simplex import project_simplex, softmax, softmax_natural_step
 
 __all__ = [
+    "DistHooks",
     "GQState",
     "Problem",
     "SweepAux",
@@ -148,17 +149,34 @@ def _interior_mask(M: int, N: int, border: int):
     return m
 
 
-def _node_f(cfg: GQMAPConfig, problem: Problem):
+def _node_f(cfg: GQMAPConfig, problem: Problem, origin=None, local_image_shape=None):
     if cfg.data_term == "bicubic":
         return make_node_pot_bicubic(
-            problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, patch=cfg.patch
+            problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, patch=cfg.patch,
+            origin=origin, local_image_shape=local_image_shape,
         )
     return make_node_pot_nearest(
-        problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, cfg.rfc
+        problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, cfg.rfc,
+        origin=origin, local_image_shape=local_image_shape,
     )
 
 
-def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tuple[GQState, SweepAux]]:
+class DistHooks(NamedTuple):
+    """Hooks that turn the single-device sweep into a shard_map body.
+
+    ``roll(x, shift, axis)`` must implement the *global* circshift over the
+    sharded lattice (explicit halo exchange); ``psum`` the all-device sum of
+    scalars/small vectors; ``origin()`` the image-pixel offset of this
+    shard; ``local_lattice`` its owned lattice extent.
+    """
+
+    roll: Callable
+    psum: Callable
+    origin: Callable
+    local_lattice: tuple
+
+
+def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -> Callable[[Problem, GQState], tuple[GQState, SweepAux]]:
     """Build the jit-able single-sweep update (one synchronous Jacobi step).
 
     ``image_shape`` fixes the lattice geometry; the per-run constants
@@ -175,8 +193,20 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
     n_interior = (M - 2 * b) * (N - 2 * b) * L
     softmax_mode = cfg.alpha_update == "softmax_natural"
 
+    roll = dist.roll if dist is not None else jnp.roll
+    psum = dist.psum if dist is not None else (lambda x: x)
+
     def sweep(problem: Problem, state: GQState) -> tuple[GQState, SweepAux]:
-        node_f = _node_f(cfg, problem)
+        if dist is None:
+            node_f = _node_f(cfg, problem)
+        else:
+            ml, nl = dist.local_lattice
+            r0, c0 = dist.origin()
+            node_f = _node_f(
+                cfg, problem,
+                origin=(r0 * cfg.patch, c0 * cfg.patch),
+                local_image_shape=(ml * cfg.patch, nl * cfg.patch),
+            )
         rngv = problem.rng
         interior = problem.interior  # (M, N), broadcasts left
         it_f = state.it.astype(dt)
@@ -199,8 +229,8 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
         sg = jnp.stack([state.sigmau, state.sigmav], axis=0)
         u1e = mu[None]                                        # (1, chan, L, M, N)
         o1e = sg[None]
-        u2e = jnp.stack([jnp.roll(mu, -1, -2), jnp.roll(mu, -1, -1)], axis=0)
-        o2e = jnp.stack([jnp.roll(sg, -1, -2), jnp.roll(sg, -1, -1)], axis=0)
+        u2e = jnp.stack([roll(mu, -1, -2), roll(mu, -1, -1)], axis=0)
+        o2e = jnp.stack([roll(sg, -1, -2), roll(sg, -1, -1)], axis=0)
         raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
         ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
 
@@ -211,8 +241,8 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
                 dn
                 + d1[0, chan]
                 + d1[1, chan]
-                + jnp.roll(d2[0, chan], 1, -2)
-                + jnp.roll(d2[1, chan], 1, -1)
+                + roll(d2[0, chan], 1, -2)
+                + roll(d2[1, chan], 1, -1)
             )
 
         dmuu = assemble(gn.du1, ge.du1, ge.du2, 0)
@@ -234,8 +264,10 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
         pn = upd(state.pn, gn.dp, -cfg.corr_tor, cfg.corr_tor)
 
         # --- energy + global mixture gradient (:36, :48) ---
-        energy = jnp.sum(jnp.where(interior, gn.E, 0)) + jnp.sum(jnp.where(interior, ge.E, 0))
-        dalpha = (
+        energy = psum(
+            jnp.sum(jnp.where(interior, gn.E, 0)) + jnp.sum(jnp.where(interior, ge.E, 0))
+        )
+        dalpha = psum(
             jnp.sum(jnp.where(interior, gn.da, 0), axis=(-2, -1))
             + jnp.sum(jnp.where(interior, ge.da, 0), axis=(0, 1, -2, -1))
         )
@@ -252,8 +284,8 @@ def make_sweep(cfg: GQMAPConfig, image_shape) -> Callable[[Problem, GQState], tu
             w = state.w
 
         # --- diagnostics & annealing (:69-73) ---
-        ptdmu = jnp.sum(jnp.where(interior, jnp.abs(dmuu), 0)) / n_interior
-        ptdsigma = jnp.sum(jnp.where(interior, jnp.abs(dsigmau), 0)) / n_interior
+        ptdmu = psum(jnp.sum(jnp.where(interior, jnp.abs(dmuu), 0))) / n_interior
+        ptdsigma = psum(jnp.sum(jnp.where(interior, jnp.abs(dsigmau), 0))) / n_interior
         if cfg.anneal_every > 0:
             T = jnp.where(
                 state.it % cfg.anneal_every == 0,

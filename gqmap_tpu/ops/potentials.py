@@ -42,6 +42,8 @@ def make_node_pot_bicubic(
     lambdad: float,
     epsn: float,
     patch: int = 1,
+    origin=None,
+    local_image_shape=None,
 ) -> Callable:
     """Return ``f(x1, x2) -> node potential`` over the flow lattice.
 
@@ -56,20 +58,32 @@ def make_node_pot_bicubic(
     dtype = I1.dtype
     lam = jnp.asarray(lambdad, dtype)
     eps = jnp.asarray(epsn, dtype)
+    # Distributed (shard_map) use: `origin` = traced (row0, col0) image-pixel
+    # offset of this shard and `local_image_shape` its owned extent; frame 1
+    # is then sliced locally while the padded frame 2 stays global (bounded-
+    # range bicubic gathers may touch an arbitrary window).
+    Ml, Nl = local_image_shape if local_image_shape is not None else (Mo, No)
+
     def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
         # 1-based coordinate grids as iota ops (NOT trace-time constants:
         # embedded array constants are pathologically slow on some runtimes)
-        jj = 1.0 + jax.lax.broadcasted_iota(dtype, (1, No), 1)
-        ii = 1.0 + jax.lax.broadcasted_iota(dtype, (Mo, 1), 0)
+        jj = 1.0 + jax.lax.broadcasted_iota(dtype, (1, Nl), 1)
+        ii = 1.0 + jax.lax.broadcasted_iota(dtype, (Ml, 1), 0)
+        I1l = I1
+        if origin is not None:
+            r0, c0 = origin
+            jj = jj + c0.astype(dtype)
+            ii = ii + r0.astype(dtype)
+            I1l = jax.lax.dynamic_slice(I1, (r0, c0), (Ml, Nl))
         if patch > 1:
             x1 = jnp.repeat(jnp.repeat(x1, patch, axis=-2), patch, axis=-1)
             x2 = jnp.repeat(jnp.repeat(x2, patch, axis=-2), patch, axis=-1)
         Xq = jj + x1  # sample_bicubic clamps to [1, No] (gqmap_gpu_mixture.m:157)
         Yq = ii + x2
         Vq = sample_bicubic(VV, Xq, Yq)
-        npt = -lam * jnp.sqrt(eps + (I1 - Vq) ** 2)
+        npt = -lam * jnp.sqrt(eps + (I1l - Vq) ** 2)
         if patch > 1:
-            M, N = Mo // patch, No // patch
+            M, N = Ml // patch, Nl // patch
             lead = npt.shape[:-2]
             npt = npt.reshape(lead + (M, patch, N, patch)).sum(axis=(-3, -1))
         return npt
@@ -83,6 +97,8 @@ def make_node_pot_nearest(
     lambdad: float,
     epsn: float,
     rfc: int,
+    origin=None,
+    local_image_shape=None,
 ) -> Callable:
     """Legacy data term: nearest lookup into the 2^rfc-x upsampled frame.
 
@@ -98,14 +114,21 @@ def make_node_pot_nearest(
     eps = jnp.asarray(epsn, dtype)
     r = float(1 << rfc)
     flat = I2_cont.reshape(-1)
+    Ml, Nl = local_image_shape if local_image_shape is not None else (Mo, No)
 
     def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-        jj = 1.0 + jax.lax.broadcasted_iota(dtype, (1, No), 1)
-        ii = 1.0 + jax.lax.broadcasted_iota(dtype, (Mo, 1), 0)
+        jj = 1.0 + jax.lax.broadcasted_iota(dtype, (1, Nl), 1)
+        ii = 1.0 + jax.lax.broadcasted_iota(dtype, (Ml, 1), 0)
+        I1l = I1
+        if origin is not None:
+            r0, c0 = origin
+            jj = jj + c0.astype(dtype)
+            ii = ii + r0.astype(dtype)
+            I1l = jax.lax.dynamic_slice(I1, (r0, c0), (Ml, Nl))
         ci = jnp.clip(jnp.floor((ii + x2 - 1.0) * r + 1.5), 1, MM).astype(jnp.int32) - 1
         cj = jnp.clip(jnp.floor((jj + x1 - 1.0) * r + 1.5), 1, NN).astype(jnp.int32) - 1
         Vq = jnp.take(flat, ci * NN + cj)
-        return -lam * jnp.sqrt(eps + (I1 - Vq) ** 2)
+        return -lam * jnp.sqrt(eps + (I1l - Vq) ** 2)
 
     return f
 
