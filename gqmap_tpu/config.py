@@ -36,7 +36,12 @@ class GQMAPConfig:
     lambdas: float = 5.0          # smoothness weight
     patch: int = 1                # flow node owns patch x patch image pixels (super: 4)
     data_term: str = "bicubic"    # "bicubic" | "nearest" (legacy I2_cont lookup)
+                                  # | "chebyshev" (gather-free spectral term)
     rfc: int = 6                  # upsample factor exponent for data_term="nearest"
+    cheb_p: int = 96              # u-degree of the spectral data term
+    cheb_q: int = 32              # v-degree
+    cheb_margin: float = 2.0      # displacement-box margin beyond the mu range
+    cheb_ablock: int = 8          # u-degrees per scan block at evaluation
 
     # --- annealing / entropy ---
     temperature: float = 0.0      # initial Bethe-entropy temperature T

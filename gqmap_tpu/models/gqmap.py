@@ -81,6 +81,7 @@ class Problem(NamedTuple):
     I2_tab: jnp.ndarray   # pad_cubic(I2) or upsample_cubic(I2, rfc)
     interior: jnp.ndarray # (M, N) bool: updatable lattice sites
     rng: FlowRange
+    cheb: object = None   # ChebData for data_term="chebyshev"
 
 
 class SweepAux(NamedTuple):
@@ -102,19 +103,31 @@ def flow_lattice_shape(cfg: GQMAPConfig, image_shape) -> tuple[int, int]:
     return Mo // cfg.patch, No // cfg.patch
 
 
-def make_problem(cfg: GQMAPConfig, I1, I2) -> Problem:
+def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) -> Problem:
     dt = _dt(cfg)
     I1 = jnp.asarray(I1, dt)
     I2 = jnp.asarray(I2, dt)
+    cheb = None
     if cfg.data_term == "bicubic":
         tab = pad_cubic(I2)
     elif cfg.data_term == "nearest":
         tab = upsample_cubic(I2, cfg.rfc)
+    elif cfg.data_term == "chebyshev":
+        tab = pad_cubic(I2)
+        if flow_range is None:
+            raise ValueError("data_term='chebyshev' needs flow_range at make_problem")
+        from ..ops.chebyshev import build_cheb_data
+
+        m = cfg.cheb_margin
+        box = (flow_range.minu - m, flow_range.maxu + m,
+               flow_range.minv - m, flow_range.maxv + m)
+        cheb = build_cheb_data(I1, tab, cfg.lambdad, cfg.epsn, box,
+                               P=cfg.cheb_p, Q=cfg.cheb_q, patch=cfg.patch)
     else:
         raise ValueError(f"unknown data_term {cfg.data_term!r}")
     M, N = flow_lattice_shape(cfg, I1.shape)
     interior = jnp.asarray(_interior_mask(M, N, cfg.border))
-    return Problem(I1=I1, I2_tab=tab, interior=interior, rng=None)
+    return Problem(I1=I1, I2_tab=tab, interior=interior, rng=flow_range, cheb=cheb)
 
 
 def init_state(cfg: GQMAPConfig, rng: FlowRange, image_shape, seed=None) -> GQState:
@@ -150,6 +163,12 @@ def _interior_mask(M: int, N: int, border: int):
 
 
 def _node_f(cfg: GQMAPConfig, problem: Problem, origin=None, local_image_shape=None):
+    if cfg.data_term == "chebyshev":
+        if origin is not None:
+            raise NotImplementedError("chebyshev data term + shard_map halo path")
+        from ..ops.chebyshev import make_node_pot_chebyshev
+
+        return make_node_pot_chebyshev(problem.cheb, cfg.cheb_ablock)
     if cfg.data_term == "bicubic":
         return make_node_pot_bicubic(
             problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, patch=cfg.patch,
@@ -356,9 +375,11 @@ def make_logp_fn(cfg: GQMAPConfig, image_shape):
     super variant sums node potentials over each 4x4 patch, ``node_lp``)."""
     edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
 
+    lp_cfg = cfg if cfg.data_term != "chebyshev" else dataclasses.replace(cfg, data_term="bicubic")
+
     @jax.jit
     def logp(problem: Problem, flow):
-        node_f = _node_f(cfg, problem)
+        node_f = _node_f(lp_cfg, problem)
         interior = problem.interior
         us = flow[..., 0]
         vs = flow[..., 1]
@@ -446,7 +467,7 @@ def solve(
     if flow_range is None:
         raise ValueError("need gt_flow or flow_range")
 
-    problem = make_problem(cfg, I1, I2)._replace(rng=flow_range)
+    problem = make_problem(cfg, I1, I2, flow_range)
     if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
         from ..utils.checkpoint import load_checkpoint
 

@@ -108,6 +108,8 @@ def make_halo_sweep(cfg: GQMAPConfig, image_shape, mesh: Mesh):
         I1=P(), I2_tab=P(), interior=P("x", "y"),
         rng=FlowRange(P(), P(), P(), P()),
     )
+    if cfg.data_term == "chebyshev":
+        raise NotImplementedError("chebyshev data term + halo path")
     from ..models.gqmap import SweepAux
 
     out_specs = (state_specs, SweepAux(P(), P(), P()))

@@ -31,11 +31,18 @@ __all__ = [
 ]
 
 
-def problem_sharding(mesh: Mesh) -> Problem:
+def problem_sharding(mesh: Mesh, problem: Problem | None = None) -> Problem:
+    """Replicated shardings mirroring the problem's pytree structure."""
     rep = NamedSharding(mesh, P())
     from ..config import FlowRange
 
-    return Problem(I1=rep, I2_tab=rep, interior=rep, rng=FlowRange(rep, rep, rep, rep))
+    cheb = None
+    if problem is not None and problem.cheb is not None:
+        from ..ops.chebyshev import ChebData
+
+        cheb = ChebData(rep, rep, rep, rep, rep)
+    return Problem(I1=rep, I2_tab=rep, interior=rep,
+                   rng=FlowRange(rep, rep, rep, rep), cheb=cheb)
 
 
 def shard_problem(problem: Problem, mesh: Mesh) -> Problem:

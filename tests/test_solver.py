@@ -142,3 +142,34 @@ def test_projsplx_alpha_mode():
     )
     res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2))
     assert abs(res.alpha.sum() - 1) < 1e-9 and (res.alpha >= 0).all()
+
+
+def test_chebyshev_data_term_close_to_exact():
+    # spectral (gather-free) data term: potential values close to exact
+    # bicubic over the displacement box, and one sweep stays consistent
+    from gqmap_tpu.models.gqmap import _node_f
+    import jax.numpy as jnp
+
+    I1, I2, gt = shifted_pair(24, 32)
+    fr = FlowRange(-2, 2, -2, 2)
+    cfg_ex = GQMAPConfig.single_gaussian(K=5, dtype="float64")
+    cfg_ch = GQMAPConfig.single_gaussian(
+        K=5, dtype="float64", data_term="chebyshev", cheb_p=48, cheb_q=48,
+        cheb_margin=1.0,
+    )
+    pe = make_problem(cfg_ex, I1, I2, fr)
+    pc = make_problem(cfg_ch, I1, I2, fr)
+    r = np.random.default_rng(0)
+    x1 = jnp.asarray(r.uniform(-2.5, 2.5, (3, 1, 24, 32)))
+    x2 = jnp.asarray(r.uniform(-2.5, 2.5, (3, 1, 24, 32)))
+    ve = np.asarray(_node_f(cfg_ex, pe)(x1, x2))
+    vc = np.asarray(_node_f(cfg_ch, pc)(x1, x2))
+    scale = np.abs(ve).max()
+    assert np.abs(ve - vc).mean() / scale < 0.01
+    # a solve step runs end to end
+    cfg_run = GQMAPConfig.single_gaussian(
+        K=5, its=10, eval_every=5, dtype="float64",
+        data_term="chebyshev", cheb_p=32, cheb_q=32,
+    )
+    res = solve(cfg_run, I1, I2, gt_flow=gt, flow_range=fr)
+    assert np.isfinite(res.Energy[:10]).all()
