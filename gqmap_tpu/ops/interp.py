@@ -66,7 +66,7 @@ def _cubic_weights(f):
     return w0, w1, w2, w3
 
 
-def sample_bicubic(VV: jnp.ndarray, Xq: jnp.ndarray, Yq: jnp.ndarray) -> jnp.ndarray:
+def sample_bicubic(VV: jnp.ndarray, Xq: jnp.ndarray, Yq: jnp.ndarray, pack_pairs: bool = False) -> jnp.ndarray:
     """Sample the cubic-padded image ``VV`` at 1-based query points.
 
     ``VV`` is ``pad_cubic(V)`` with ``V`` of shape ``(M, N)``;
@@ -101,12 +101,31 @@ def sample_bicubic(VV: jnp.ndarray, Xq: jnp.ndarray, Yq: jnp.ndarray) -> jnp.nda
     # (1-based VV row iy .. iy+3 spans the 4-neighborhood of Yq).
     base = (iy.astype(jnp.int32) - 1) * N2 + (ix.astype(jnp.int32) - 1)
 
+    wy = _cubic_weights(to)
+    wx = _cubic_weights(so)
+    if pack_pairs and dtype == jnp.float32:
+        # Gathers are index-rate-bound on TPU; packing horizontally adjacent
+        # taps into complex64 halves the tap count (8 instead of 16).
+        Wc = jax.lax.complex(VV[:, :-1], VV[:, 1:]).reshape(-1)
+        N2c = N2 - 1
+        basec = (iy.astype(jnp.int32) - 1) * N2c + (ix.astype(jnp.int32) - 1)
+        offs = np.array(
+            [dr * N2c + dc for dc in (0, 2) for dr in range(4)], np.int32
+        ).reshape((8,) + (1,) * base.ndim)
+        taps = jnp.take(Wc, offs + basec[None])  # (8,) + shape, complex64
+        Vq = jnp.zeros(shape, dtype)
+        k = 0
+        for dc in (0, 2):
+            for dr in range(4):
+                pair = taps[k]
+                Vq = Vq + (jnp.real(pair) * wx[dc] + jnp.imag(pair) * wx[dc + 1]) * wy[dr]
+                k += 1
+        return Vq * jnp.asarray(0.25, dtype)
+
     offs = np.array(
         [dr * N2 + dc for dc in range(4) for dr in range(4)], np.int32
     ).reshape((16,) + (1,) * base.ndim)
     taps = jnp.take(VV.reshape(-1), offs + base[None])  # (16,) + shape
-    wy = _cubic_weights(to)
-    wx = _cubic_weights(so)
     Vq = jnp.zeros(shape, dtype)
     k = 0
     for dc in range(4):

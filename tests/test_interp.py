@@ -147,3 +147,14 @@ def test_upsample_phase_stencil_matches_direct_sampling(image):
         sample_bicubic(pad_cubic(jnp.asarray(image)), jnp.asarray(xs)[None, :], jnp.asarray(ys)[:, None])
     )
     np.testing.assert_allclose(fine, direct, rtol=1e-12, atol=1e-9)
+
+
+def test_pack_pairs_variant_matches(image):
+    VV = pad_cubic(jnp.asarray(image, jnp.float32))
+    r = np.random.default_rng(13)
+    M, N = image.shape
+    Xq = jnp.asarray(r.uniform(-1, N + 2, 300), jnp.float32)
+    Yq = jnp.asarray(r.uniform(-1, M + 2, 300), jnp.float32)
+    a = np.asarray(sample_bicubic(VV, Xq, Yq))
+    b = np.asarray(sample_bicubic(VV, Xq, Yq, pack_pairs=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
