@@ -42,6 +42,10 @@ class GQMAPConfig:
     cheb_q: int = 32              # v-degree
     cheb_margin: float = 2.0      # displacement-box margin beyond the mu range
     cheb_ablock: int = 8          # u-degrees per scan block at evaluation
+    quad_var: float = 1.0         # variance of the quadratic node prior (legacy v1)
+    edge_kind: str = "charbonnier"  # or "truncquad" (legacy/gqmap_cpu.m:43)
+    gama: float = 1.0             # truncated-quadratic edge scale
+    dta: float = 10.0             # truncation cutoff
 
     # --- annealing / entropy ---
     temperature: float = 0.0      # initial Bethe-entropy temperature T
@@ -59,6 +63,13 @@ class GQMAPConfig:
     corr_tor: float = 1.0 - 1e-5  # |rho| clamp (0.999 in ctf)
     border: int = 1               # frozen boundary ring (gqmap_gpu_mixture.m:11)
     tor: float = 1e-4             # convergence threshold on mean |dmu|
+
+    # --- gradient estimator ---
+    gradient_estimator: str = "stein"  # reference Stein identities, or
+                                       # "autodiff" (jax.grad of the quadrature
+                                       # expectation; the TPU-native heir of the
+                                       # legacy/gqmap_gpuV3.m analytic-derivative
+                                       # estimator family)
 
     # --- mixture weights ---
     alpha_update: str = "softmax_natural"  # or "projsplx" (gqmap_gpu_mixture.m:49-50)
@@ -106,6 +117,16 @@ class GQMAPConfig:
         """L=1 full-res solver (the modern equivalent of
         ``legacy/gqmap_gpuV2.m``)."""
         return cls.full_mixture(**{**dict(L=1), **kw})
+
+    @classmethod
+    def legacy_v1(cls, **kw) -> "GQMAPConfig":
+        """Earliest solver family (``legacy/gqmap_cpu.m``): quadratic node
+        prior toward an init flow + truncated-quadratic edges, L=1."""
+        return cls(**{**dict(
+            K=9, its=2000, L=1, data_term="quadratic", edge_kind="truncquad",
+            quad_var=1.0, gama=1.0, dta=10.0,
+            step0=0.1, step_tau=1000.0, corr_tor=0.97, sigma_max=25.0,
+        ), **kw})
 
     @classmethod
     def ctf_level(cls, **kw) -> "GQMAPConfig":

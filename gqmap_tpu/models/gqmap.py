@@ -28,12 +28,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FlowRange, GQMAPConfig
-from ..ops.gq import EDGE, NODE, finalize, gq_accumulate
+from ..ops.gq import EDGE, NODE, finalize, gq_accumulate, gq_ei
 from ..ops.interp import pad_cubic, upsample_cubic
 from ..ops.mixture import extract_map
 from ..ops.potentials import make_edge_pot, make_node_pot_bicubic, make_node_pot_nearest
 from ..ops.quadrature import build_table
 from ..ops.simplex import project_simplex, softmax, softmax_natural_step
+
+_E_CONST1 = 1.0 + math.log(2.0 * math.pi)
+_INV_PI = 1.0 / math.pi
 
 __all__ = [
     "DistHooks",
@@ -82,6 +85,7 @@ class Problem(NamedTuple):
     interior: jnp.ndarray # (M, N) bool: updatable lattice sites
     rng: FlowRange
     cheb: object = None   # ChebData for data_term="chebyshev"
+    init_flow: object = None  # (M, N, 2) prior flow for data_term="quadratic"
 
 
 class SweepAux(NamedTuple):
@@ -112,6 +116,8 @@ def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) 
         tab = pad_cubic(I2)
     elif cfg.data_term == "nearest":
         tab = upsample_cubic(I2, cfg.rfc)
+    elif cfg.data_term == "quadratic":
+        tab = pad_cubic(I2)  # kept for logP evaluation
     elif cfg.data_term == "chebyshev":
         tab = pad_cubic(I2)
         if flow_range is None:
@@ -163,6 +169,10 @@ def _interior_mask(M: int, N: int, border: int):
 
 
 def _node_f(cfg: GQMAPConfig, problem: Problem, origin=None, local_image_shape=None):
+    if cfg.data_term == "quadratic":
+        from ..ops.potentials import make_node_pot_quadratic
+
+        return make_node_pot_quadratic(problem.init_flow, cfg.quad_var)
     if cfg.data_term == "chebyshev":
         if origin is not None:
             raise NotImplementedError("chebyshev data term + shard_map halo path")
@@ -208,7 +218,12 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
     L = cfg.L
     b = cfg.border
     tab = build_table(cfg.K, cfg.quad_chunk, dt)
-    edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
+    if cfg.edge_kind == "truncquad":
+        from ..ops.potentials import make_edge_pot_truncquad
+
+        edge_f = make_edge_pot_truncquad(cfg.gama, cfg.dta)
+    else:
+        edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
     n_interior = (M - 2 * b) * (N - 2 * b) * L
     softmax_mode = cfg.alpha_update == "softmax_natural"
 
@@ -237,37 +252,86 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
         a3 = alpha.reshape(L, 1, 1)
         T = state.temperature
 
-        # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
-        raw_n = gq_accumulate(
-            node_f, state.muu, state.muv, state.sigmau, state.sigmav, state.pn, tab
-        )
-        gn = finalize(raw_n, a3, state.sigmau, state.sigmav, state.pn, T, NODE)
+        if cfg.gradient_estimator == "autodiff":
+            # TPU-native heir of the legacy/gqmap_gpuV3.m analytic-derivative
+            # estimator family: all parameter gradients (incl. the neighbor
+            # scatter-back and the softmax chain) via jax.grad of the
+            # quadrature-estimated expected energy.
+            # Gradient target: the FULL-lattice energy (incl. border-owned
+            # and wrap-around edge terms) — that is what the reference's
+            # assembled gradients differentiate; the interior-only sum is
+            # only what it *reports* and what drives the alpha update
+            # (gqmap_gpu_mixture.m:36,48 vs :37-46).
+            def expected_energy(muu_, muv_, su_, sv_, pn_, rou_):
+                a3_ = alpha.reshape(L, 1, 1)
+                ei_n = gq_ei(node_f, muu_, muv_, su_, sv_, pn_, tab)
+                Hn = _E_CONST1 + jnp.log(jnp.sqrt(1.0 - pn_ * pn_) * su_ * sv_)
+                da_n = ei_n * _INV_PI - 3.0 * T * Hn
+                mu_ = jnp.stack([muu_, muv_], axis=0)
+                sg_ = jnp.stack([su_, sv_], axis=0)
+                u2e_ = jnp.stack([roll(mu_, -1, -2), roll(mu_, -1, -1)], axis=0)
+                o2e_ = jnp.stack([roll(sg_, -1, -2), roll(sg_, -1, -1)], axis=0)
+                ei_e = gq_ei(edge_f, mu_[None], u2e_, sg_[None], o2e_, rou_, tab)
+                He = _E_CONST1 + jnp.log(jnp.sqrt(1.0 - rou_ * rou_) * sg_[None] * o2e_)
+                da_e = ei_e * _INV_PI + T * He
+                full = psum(jnp.sum(a3_ * da_n) + jnp.sum(a3_ * da_e))
+                energy_int = psum(
+                    jnp.sum(jnp.where(interior, a3_ * da_n, 0))
+                    + jnp.sum(jnp.where(interior, a3_ * da_e, 0))
+                )
+                dalpha_int = psum(
+                    jnp.sum(jnp.where(interior, da_n, 0), axis=(-2, -1))
+                    + jnp.sum(jnp.where(interior, da_e, 0), axis=(0, 1, -2, -1))
+                )
+                return full, (energy_int, dalpha_int)
 
-        # --- edge kernel (:31-34, :118-146); dims (dir, chan, L, M, N) ---
-        mu = jnp.stack([state.muu, state.muv], axis=0)        # (chan, L, M, N)
-        sg = jnp.stack([state.sigmau, state.sigmav], axis=0)
-        u1e = mu[None]                                        # (1, chan, L, M, N)
-        o1e = sg[None]
-        u2e = jnp.stack([roll(mu, -1, -2), roll(mu, -1, -1)], axis=0)
-        o2e = jnp.stack([roll(sg, -1, -2), roll(sg, -1, -1)], axis=0)
-        raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
-        ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
-
-        # --- gradient assembly: endpoint-1 terms stay, endpoint-2 terms are
-        # scattered back to the neighbor that owns them (:37-40) ---
-        def assemble(dn, d1, d2, chan):
-            return (
-                dn
-                + d1[0, chan]
-                + d1[1, chan]
-                + roll(d2[0, chan], 1, -2)
-                + roll(d2[1, chan], 1, -1)
+            (_, (energy, dalpha)), grads = jax.value_and_grad(
+                expected_energy, argnums=tuple(range(6)), has_aux=True
+            )(state.muu, state.muv, state.sigmau, state.sigmav, state.pn, state.rou)
+            dmuu, dmuv, dsigmau, dsigmav, dpn_g, drou_g = grads
+        else:
+            # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
+            raw_n = gq_accumulate(
+                node_f, state.muu, state.muv, state.sigmau, state.sigmav, state.pn, tab
             )
+            gn = finalize(raw_n, a3, state.sigmau, state.sigmav, state.pn, T, NODE)
 
-        dmuu = assemble(gn.du1, ge.du1, ge.du2, 0)
-        dmuv = assemble(gn.du2, ge.du1, ge.du2, 1)
-        dsigmau = assemble(gn.do1, ge.do1, ge.do2, 0)
-        dsigmav = assemble(gn.do2, ge.do1, ge.do2, 1)
+            # --- edge kernel (:31-34, :118-146); dims (dir, chan, L, M, N) ---
+            mu = jnp.stack([state.muu, state.muv], axis=0)        # (chan, L, M, N)
+            sg = jnp.stack([state.sigmau, state.sigmav], axis=0)
+            u1e = mu[None]                                        # (1, chan, L, M, N)
+            o1e = sg[None]
+            u2e = jnp.stack([roll(mu, -1, -2), roll(mu, -1, -1)], axis=0)
+            o2e = jnp.stack([roll(sg, -1, -2), roll(sg, -1, -1)], axis=0)
+            raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
+            ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
+
+            # --- gradient assembly: endpoint-1 terms stay, endpoint-2 terms
+            # are scattered back to the neighbor that owns them (:37-40) ---
+            def assemble(dn, d1, d2, chan):
+                return (
+                    dn
+                    + d1[0, chan]
+                    + d1[1, chan]
+                    + roll(d2[0, chan], 1, -2)
+                    + roll(d2[1, chan], 1, -1)
+                )
+
+            dmuu = assemble(gn.du1, ge.du1, ge.du2, 0)
+            dmuv = assemble(gn.du2, ge.du1, ge.du2, 1)
+            dsigmau = assemble(gn.do1, ge.do1, ge.do2, 0)
+            dsigmav = assemble(gn.do2, ge.do1, ge.do2, 1)
+            dpn_g = gn.dp
+            drou_g = ge.dp
+
+            # --- energy + global mixture gradient (:36, :48) ---
+            energy = psum(
+                jnp.sum(jnp.where(interior, gn.E, 0)) + jnp.sum(jnp.where(interior, ge.E, 0))
+            )
+            dalpha = psum(
+                jnp.sum(jnp.where(interior, gn.da, 0), axis=(-2, -1))
+                + jnp.sum(jnp.where(interior, ge.da, 0), axis=(0, 1, -2, -1))
+            )
 
         # --- clamped interior ascent (:41-46) ---
         sstep = step * jnp.asarray(cfg.sigma_step_scale, dt)
@@ -279,17 +343,8 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
         muv = upd(state.muv, dmuv, rngv.minv, rngv.maxv)
         sigmau = upd(state.sigmau, dsigmau, cfg.sigma_min, cfg.sigma_max, sstep)
         sigmav = upd(state.sigmav, dsigmav, cfg.sigma_min, cfg.sigma_max, sstep)
-        rou = upd(state.rou, ge.dp, -cfg.corr_tor, cfg.corr_tor, step, interior)
-        pn = upd(state.pn, gn.dp, -cfg.corr_tor, cfg.corr_tor)
-
-        # --- energy + global mixture gradient (:36, :48) ---
-        energy = psum(
-            jnp.sum(jnp.where(interior, gn.E, 0)) + jnp.sum(jnp.where(interior, ge.E, 0))
-        )
-        dalpha = psum(
-            jnp.sum(jnp.where(interior, gn.da, 0), axis=(-2, -1))
-            + jnp.sum(jnp.where(interior, ge.da, 0), axis=(0, 1, -2, -1))
-        )
+        rou = upd(state.rou, drou_g, -cfg.corr_tor, cfg.corr_tor, step, interior)
+        pn = upd(state.pn, dpn_g, -cfg.corr_tor, cfg.corr_tor)
 
         # --- mixture-weight update, active after alpha_start iters (:50) ---
         if L > 1:
@@ -375,7 +430,9 @@ def make_logp_fn(cfg: GQMAPConfig, image_shape):
     super variant sums node potentials over each 4x4 patch, ``node_lp``)."""
     edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
 
-    lp_cfg = cfg if cfg.data_term != "chebyshev" else dataclasses.replace(cfg, data_term="bicubic")
+    lp_cfg = cfg
+    if cfg.data_term in ("chebyshev", "quadratic"):
+        lp_cfg = dataclasses.replace(cfg, data_term="bicubic")
 
     @jax.jit
     def logp(problem: Problem, flow):

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from .quadrature import QuadTable
 
-__all__ = ["GQRaw", "GQGrads", "gq_accumulate", "finalize", "NODE", "EDGE"]
+__all__ = ["GQRaw", "GQGrads", "gq_accumulate", "gq_ei", "finalize", "NODE", "EDGE"]
 
 _SQRT2 = math.sqrt(2.0)
 _CONST1 = 1.0 + math.log(2.0 * math.pi)  # 1 + log(2*pi), entropy constant
@@ -169,6 +169,34 @@ def finalize(
     dp = a * ((2.0 * raw.Sxy - p * raw.Sa) * inv_pi + cn * p) / pr
     E = a * da
     return GQGrads(da=da, du1=du1, du2=du2, do1=do1, do2=do2, dp=dp, E=E)
+
+
+def gq_ei(
+    f, u1, u2, o1, o2, p, tab: QuadTable, *, unroll: int = 1
+) -> jnp.ndarray:
+    """Ei only (sum of weighted potential values) — the lean path for the
+    autodiff gradient estimator, where derivatives come from jax.grad of
+    the expectation rather than the Stein identities."""
+    dtype = u1.dtype
+    s = (jnp.sqrt(1.0 + p) + jnp.sqrt(1.0 - p)) * 0.5
+    t = (jnp.sqrt(1.0 + p) - jnp.sqrt(1.0 - p)) * 0.5
+    o1e = o1 * _SQRT2
+    o2e = o2 * _SQRT2
+    site_shape = jnp.broadcast_shapes(u1.shape, u2.shape, o1.shape, o2.shape, p.shape)
+    tabj = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype).reshape((a.shape[0],) + cshape_tail(site_shape, a.shape[1])),
+        tab,
+    )
+
+    def body(carry, tc):
+        xi, xj, wiwj, *_ = tc
+        zi = s * xi + t * xj
+        zj = t * xi + s * xj
+        fv = wiwj * f(o1e * zi + u1, o2e * zj + u2)
+        return carry + jnp.sum(fv, 0), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros(site_shape, dtype), tabj, unroll=unroll)
+    return out
 
 
 def gq_expectation(

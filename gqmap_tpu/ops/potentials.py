@@ -31,6 +31,7 @@ from .interp import sample_bicubic
 __all__ = [
     "make_node_pot_bicubic",
     "make_node_pot_nearest",
+    "make_node_pot_quadratic",
     "make_edge_pot",
     "make_edge_pot_truncquad",
 ]
@@ -155,5 +156,26 @@ def make_edge_pot_truncquad(gama: float, dta: float) -> Callable:
         d = x2 - x1
         d = jnp.where(jnp.abs(d) > dta, jnp.zeros_like(d), d)
         return -(d * d) / (2.0 * jnp.asarray(gama, x1.dtype))
+
+    return f
+
+
+def make_node_pot_quadratic(init_flow, var: float):
+    """Quadratic node potential toward a given init flow
+    (``legacy/gqmap_cpu.m:22-23``): ``-((fu-x1)^2 + (fv-x2)^2)/(2 var)``.
+
+    The earliest solver family treats the data term as a prior around an
+    externally supplied flow (e.g. the block-matching initializer); the
+    joint (x1, x2) form with node correlation subsumes the reference's
+    per-channel 1-D version.
+    """
+    fu = init_flow[..., 0]
+    fv = init_flow[..., 1]
+
+    def f(x1, x2):
+        inv = 1.0 / (2.0 * var)
+        du = fu - x1
+        dv = fv - x2
+        return -(du * du + dv * dv) * inv
 
     return f

@@ -173,3 +173,60 @@ def test_chebyshev_data_term_close_to_exact():
     )
     res = solve(cfg_run, I1, I2, gt_flow=gt, flow_range=fr)
     assert np.isfinite(res.Energy[:10]).all()
+
+
+def test_legacy_v1_quadratic_family():
+    # quadratic node prior toward an init flow + truncated-quadratic edges
+    # (legacy/gqmap_cpu.m); with a dominant prior the means track the init
+    from gqmap_tpu.models.gqmap import make_problem as mk
+
+    I1, I2, gt = shifted_pair()
+    init = np.zeros((24, 28, 2))
+    init[..., 0] = 1.25
+    cfg = GQMAPConfig.legacy_v1(K=5, its=300, eval_every=150, dtype="float64",
+                                quad_var=0.05)
+    import jax.numpy as jnp
+
+    fr = FlowRange(-2, 2, -2, 2)
+    problem = mk(cfg, I1, I2, fr)._replace(init_flow=jnp.asarray(init))
+    from gqmap_tpu.models.gqmap import init_state, make_segment_runner
+
+    state = init_state(cfg, fr, I1.shape)
+    seg = make_segment_runner(cfg, I1.shape)
+    state, n, *_ = seg(problem, state, 300)
+    mu_u = np.asarray(state.muu)[0, 1:-1, 1:-1]
+    assert abs(np.median(mu_u) - 1.25) < 0.15, np.median(mu_u)
+
+
+def test_autodiff_estimator_matches_stein():
+    # With POLYNOMIAL potentials (quadratic node prior, untruncated
+    # quadratic edges) the K^2 quadrature is exact, so the Stein identities
+    # and jax.grad of the quadrature expectation must agree to roundoff.
+    # (On rough integrands — Charbonnier of a textured image — the two
+    # estimator families differ by genuine quadrature error, exactly like
+    # the reference's gpuV2 vs gpuV3 lineages.)
+    import jax
+
+    I1, I2, gt = shifted_pair(16, 20)
+    fr = FlowRange(-2, 2, -2, 2)
+    init = np.zeros((16, 20, 2))
+    init[..., 0] = 1.0
+    outs = {}
+    for est in ("stein", "autodiff"):
+        cfg = GQMAPConfig.legacy_v1(
+            K=7, L=2, dtype="float64", gradient_estimator=est,
+            dta=1e9, temperature=0.1, alpha_start=0,
+        )
+        problem = make_problem(cfg, I1, I2, fr)._replace(init_flow=jnp.asarray(init))
+        st = init_state(cfg, fr, I1.shape)
+        st = st._replace(it=np.int32(600) * jnp.ones((), jnp.int32))
+        sweep = jax.jit(make_sweep(cfg, I1.shape))
+        outs[est] = sweep(problem, st)
+    s1, a1 = outs["stein"]
+    s2, a2 = outs["autodiff"]
+    np.testing.assert_allclose(float(a1.energy), float(a2.energy), rtol=1e-10)
+    for f in ("muu", "muv", "sigmau", "sigmav", "pn", "rou", "w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s2, f)), np.asarray(getattr(s1, f)),
+            rtol=1e-8, atol=1e-10, err_msg=f,
+        )
