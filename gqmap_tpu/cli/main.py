@@ -25,6 +25,8 @@ PRESETS = {
     "full_mixture": GQMAPConfig.full_mixture,
     "super_entropy": GQMAPConfig.super_entropy,
     "single_gaussian": GQMAPConfig.single_gaussian,
+    "tpu_fast": GQMAPConfig.tpu_fast,
+    "legacy_v1": GQMAPConfig.legacy_v1,
     "ctf_level": GQMAPConfig.ctf_level,
 }
 

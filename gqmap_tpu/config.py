@@ -119,6 +119,14 @@ class GQMAPConfig:
         return cls.full_mixture(**{**dict(L=1), **kw})
 
     @classmethod
+    def tpu_fast(cls, **kw) -> "GQMAPConfig":
+        """Flagship mixture preset with the gather-free spectral data term —
+        the TPU-native fast path (see PERFORMANCE.md)."""
+        return cls.full_mixture(**{**dict(
+            data_term="chebyshev", cheb_p=96, cheb_q=16, quad_chunk=27,
+        ), **kw})
+
+    @classmethod
     def legacy_v1(cls, **kw) -> "GQMAPConfig":
         """Earliest solver family (``legacy/gqmap_cpu.m``): quadratic node
         prior toward an init flow + truncated-quadratic edges, L=1."""

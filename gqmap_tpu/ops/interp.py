@@ -7,8 +7,8 @@ term: a padded/extrapolated image ``VV`` (``gqmap_gpu_mixture.m:191-208``,
 (``gqmap_gpu_mixture.m:156-179``, ``node_pot``). Accuracy parity of the whole
 engine hinges on matching it exactly, so this module replicates both pieces
 bit-faithfully (up to float associativity) while expressing the gather the
-TPU-friendly way: a single ``lax.gather`` of 4x4 patches followed by a fused
-separable weight contraction on the VPU.
+TPU-friendly way: one batched ``take`` over a stacked tap-offset axis
+followed by the fused separable weight contraction on the VPU.
 
 Coordinates follow MATLAB 1-based convention throughout: a query at
 ``(Xq, Yq) == (j, i)`` returns ``V[i-1, j-1]`` exactly.

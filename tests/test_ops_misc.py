@@ -157,3 +157,19 @@ def test_imresize_basic():
     np.testing.assert_allclose(const, 3.3, rtol=1e-12)
     up = imresize(img, [32, 32])
     assert up.shape == (32, 32)
+
+
+def test_preprocessed_mat_loader():
+    from tests.conftest import has_middlebury
+
+    if not has_middlebury():
+        import pytest
+
+        pytest.skip("no data")
+    from gqmap_tpu.io.dataset import load_sequence
+
+    seq = load_sequence("rubberwhale", preprocessed=True)
+    assert seq.img1.shape == (388, 584)
+    # structure-texture decomposed inputs differ from plain grayscale
+    plain = load_sequence("rubberwhale")
+    assert not np.allclose(seq.img1, plain.img1)

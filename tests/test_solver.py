@@ -230,3 +230,26 @@ def test_autodiff_estimator_matches_stein():
             np.asarray(getattr(s2, f)), np.asarray(getattr(s1, f)),
             rtol=1e-8, atol=1e-10, err_msg=f,
         )
+
+
+def test_chebyshev_super_patch():
+    # spectral term with patch=4: coefficients expand the PATCH-SUMMED node
+    # potential, so values must match the exact super data term
+    from gqmap_tpu.models.gqmap import _node_f
+    import jax.numpy as jnp
+
+    I1, I2, gt = shifted_pair(32, 40)
+    fr = FlowRange(-2, 2, -2, 2)
+    cfg_ex = GQMAPConfig.super_entropy(K=3, dtype="float64")
+    cfg_ch = GQMAPConfig.super_entropy(
+        K=3, dtype="float64", data_term="chebyshev", cheb_p=48, cheb_q=48,
+        cheb_margin=1.0,
+    )
+    pe = make_problem(cfg_ex, I1, I2, fr)
+    pc = make_problem(cfg_ch, I1, I2, fr)
+    r = np.random.default_rng(0)
+    x1 = jnp.asarray(r.uniform(-2, 2, (2, 1, 8, 10)))
+    x2 = jnp.asarray(r.uniform(-2, 2, (2, 1, 8, 10)))
+    ve = np.asarray(_node_f(cfg_ex, pe)(x1, x2))
+    vc = np.asarray(_node_f(cfg_ch, pc)(x1, x2))
+    assert np.abs(ve - vc).mean() / np.abs(ve).max() < 0.01
