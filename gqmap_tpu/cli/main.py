@@ -92,9 +92,12 @@ def cmd_run(args):
     )
     print(json.dumps({"seq": args.seq, "best_aepe": res.best_aepe, "iters": res.iters}))
     if args.out:
+        from ..io.flo import write_flo
+
         np.savez(f"{args.out}/{args.seq}.npz", mu=res.mu, sigma=res.sigma,
                  alpha=res.alpha, AEPE=res.AEPE, Energy=res.Energy, logP=res.logP,
                  map=res.map)
+        write_flo(f"{args.out}/{args.seq}.flo", res.map.astype(np.float32))
 
 
 def cmd_suite(args):

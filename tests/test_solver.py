@@ -253,3 +253,14 @@ def test_chebyshev_super_patch():
     ve = np.asarray(_node_f(cfg_ex, pe)(x1, x2))
     vc = np.asarray(_node_f(cfg_ch, pc)(x1, x2))
     assert np.abs(ve - vc).mean() / np.abs(ve).max() < 0.01
+
+
+def test_seeded_regression_lock():
+    # deterministic seeded run on a fixed synthetic pair: locks the exact
+    # AEPE/Energy trajectory (float64 CPU) against silent numeric drift
+    I1, I2, gt = shifted_pair(24, 28, seed=0)
+    cfg = GQMAPConfig.full_mixture(K=5, L=2, its=200, eval_every=100, dtype="float64")
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2), seed=7)
+    np.testing.assert_allclose(res.AEPE[99], 1.7480420553231795, rtol=1e-10)
+    np.testing.assert_allclose(res.AEPE[199], 1.6825042895488336, rtol=1e-10)
+    np.testing.assert_allclose(res.Energy[199], -45189.2677513013, rtol=1e-9)
