@@ -100,4 +100,12 @@ def load_sequence(name: str, scale: float = 1.0, preprocessed: bool = False) -> 
 
     flo_path = d / "flow10.flo"
     gt = read_flo(flo_path) if flo_path.is_file() else None
+    if gt is not None and scale != 1.0 and not preprocessed:
+        # resized GT: sanitize the 1e10 unknown sentinels first (they would
+        # bleed into neighbors under interpolation), then scale values
+        from ..ops.flowviz import flow_to_color
+        from .images import imresize
+
+        clean = flow_to_color(np.asarray(gt, np.float64)).flo
+        gt = (imresize(clean, img1.shape) * scale).astype(np.float32)
     return Sequence(name, img1, img2, gt)

@@ -1,0 +1,1 @@
+from .edge_gq import edge_gq_pallas, pack_table
