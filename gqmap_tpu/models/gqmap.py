@@ -376,19 +376,35 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
     return sweep
 
 
-def make_segment_runner(cfg: GQMAPConfig, image_shape):
+def make_segment_runner(cfg: GQMAPConfig, image_shape, mesh=None):
     """On-device multi-sweep runner with the reference's early stop.
 
     Runs up to ``limit`` sweeps (bounded by the eval cadence), recording the
     per-iteration Energy and mean-|dmu| traces; stops as soon as
     ``it > its`` or ``ptdmu < tor`` (``gqmap_gpu_mixture.m:75``).
     Returns ``(state, n_done, energy_buf, ptdmu_buf, ptdsigma_buf, stopped)``.
+
+    With ``mesh`` given, the whole segment is jitted with the lattice
+    block-sharded over the mesh's (x, y) axes (GSPMD inserts the halo
+    collectives and psums).
     """
     sweep = make_sweep(cfg, image_shape)
     cap = cfg.eval_every
     dt = _dt(cfg)
+    jit_kwargs = {}
+    if mesh is not None:
+        from ..parallel.mesh import state_sharding
+        from ..parallel.sharded import problem_sharding
 
-    @jax.jit
+        jit_kwargs = dict(
+            in_shardings=(
+                problem_sharding(mesh),
+                state_sharding(mesh),
+                None,
+            )
+        )
+
+    @partial(jax.jit, **jit_kwargs)
     def seg(problem: Problem, state: GQState, limit):
         ebuf = jnp.zeros((cap,), dt)
         pbuf = jnp.zeros((cap,), dt)
@@ -499,12 +515,16 @@ def solve(
     checkpoint_path=None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    mesh=None,
 ) -> SolveResult:
     """Run the full GQMAP inference loop (entry points A/B of SURVEY.md §3).
 
     ``gt_flow`` (raw .flo contents) drives the clamp ranges, unknown mask
     and AEPE exactly like the driver scripts (``optical_flow.m:12-13``);
     pass ``flow_range`` explicitly to run without ground truth.
+
+    With ``mesh`` set (a ``jax.sharding.Mesh`` with x/y axes) the lattice is
+    block-sharded and the sweeps run SPMD over the mesh devices.
 
     Checkpointing: with ``checkpoint_path`` set, the full state is written
     every ``checkpoint_every`` iterations (0 = only at the end); with
@@ -533,7 +553,12 @@ def solve(
         state = init
     else:
         state = init_state(cfg, flow_range, np.shape(I1), seed)
-    seg = make_segment_runner(cfg, np.shape(I1))
+    if mesh is not None:
+        from ..parallel.sharded import shard_problem, shard_state
+
+        problem = shard_problem(problem, mesh)
+        state = shard_state(state, mesh)
+    seg = make_segment_runner(cfg, np.shape(I1), mesh=mesh)
     map_fn = make_map_fn(cfg)
     logp_fn = make_logp_fn(cfg, np.shape(I1))
 

@@ -101,3 +101,26 @@ def test_mesh_for_awkward_shapes():
     np.testing.assert_allclose(
         np.asarray(s_sh.muu), np.asarray(s_ref.muu), rtol=1e-9, atol=1e-12
     )
+
+
+def test_solve_with_mesh_matches_single():
+    from scipy.ndimage import gaussian_filter as gf
+    from gqmap_tpu.models.gqmap import solve
+
+    r = np.random.default_rng(0)
+    I1 = gf(r.uniform(0, 255, (16, 16)), 1.5)
+    I2 = np.roll(I1, 1, axis=1)
+    gt = np.zeros((16, 16, 2))
+    gt[..., 0] = 1.0
+    fr = FlowRange(-2, 2, -2, 2)
+    # few iterations: the dynamics are chaotic (clamp boundaries, 1/(1-p^2)
+    # near the correlation clamp), so reduction-order differences amplify
+    # quickly; shard-invariance at tight tolerance is separately covered by
+    # test_sharded_equals_single over 3 sweeps
+    cfg = GQMAPConfig.full_mixture(K=3, L=2, its=6, eval_every=3, dtype="float64")
+    a = solve(cfg, I1, I2, gt_flow=gt, flow_range=fr, seed=3)
+    mesh = make_mesh(8, dp=1)
+    b = solve(cfg, I1, I2, gt_flow=gt, flow_range=fr, seed=3, mesh=mesh)
+    np.testing.assert_allclose(b.mu, a.mu, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(b.Energy[:6], a.Energy[:6], rtol=1e-8)
+    np.testing.assert_allclose(b.AEPE[2], a.AEPE[2], rtol=1e-7)
