@@ -391,20 +391,11 @@ def make_segment_runner(cfg: GQMAPConfig, image_shape, mesh=None):
     sweep = make_sweep(cfg, image_shape)
     cap = cfg.eval_every
     dt = _dt(cfg)
-    jit_kwargs = {}
-    if mesh is not None:
-        from ..parallel.mesh import state_sharding
-        from ..parallel.sharded import problem_sharding
+    # mesh note: sharding comes from the argument placement (shard_state /
+    # shard_problem in solve()); jit propagates it, GSPMD partitions.
+    del mesh
 
-        jit_kwargs = dict(
-            in_shardings=(
-                problem_sharding(mesh),
-                state_sharding(mesh),
-                None,
-            )
-        )
-
-    @partial(jax.jit, **jit_kwargs)
+    @jax.jit
     def seg(problem: Problem, state: GQState, limit):
         ebuf = jnp.zeros((cap,), dt)
         pbuf = jnp.zeros((cap,), dt)
