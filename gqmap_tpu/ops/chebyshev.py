@@ -25,7 +25,7 @@ gather-based bicubic/nearest terms remain available.
 
 from __future__ import annotations
 
-import math
+
 from typing import NamedTuple
 
 import jax

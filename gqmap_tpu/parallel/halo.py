@@ -16,11 +16,11 @@ inert, exactly as in the reference — ``gqmap_gpu_mixture.m:37-46``).
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import GQMAPConfig
 from ..models.gqmap import DistHooks, GQState, Problem, make_sweep
