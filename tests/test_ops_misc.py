@@ -173,3 +173,16 @@ def test_preprocessed_mat_loader():
     # structure-texture decomposed inputs differ from plain grayscale
     plain = load_sequence("rubberwhale")
     assert not np.allclose(seq.img1, plain.img1)
+
+
+def test_evals_aepe_helper():
+    from gqmap_tpu.evals.metrics import aepe
+
+    flow = np.ones((6, 6, 2))
+    gt = np.zeros((6, 6, 2))
+    assert aepe(flow, gt, crop=1) == pytest.approx(np.sqrt(2.0))
+    unk = np.zeros((6, 6), bool)
+    unk[2, 2] = True
+    # unknown pixel zeroed in the estimate -> matches zero GT there
+    v = aepe(flow, gt, unknown=unk, crop=1)
+    assert v < np.sqrt(2.0)
