@@ -44,6 +44,13 @@ class GQMAPConfig:
     cheb_ablock: int = 8          # u-degrees per scan block at evaluation
     quad_var: float = 1.0         # variance of the quadratic node prior (legacy v1)
     edge_kind: str = "charbonnier"  # or "truncquad" (legacy/gqmap_cpu.m:43)
+    edge_quad: str = "tensor"     # "tensor": K^2-point 2-D rule (reference
+                                  # semantics); "reduced": exact 1-D collapse
+                                  # of the difference potential
+                                  # (ops/gq.gq_accumulate_diff) — ~K x fewer evals
+    edge_quad_k: int = 0          # 1-D order for edge_quad="reduced";
+                                  # 0 = auto (2K+3: beats the tensor rule's
+                                  # effective d-axis resolution, see tests)
     gama: float = 1.0             # truncated-quadratic edge scale
     dta: float = 10.0             # truncation cutoff
 
@@ -124,6 +131,7 @@ class GQMAPConfig:
         the TPU-native fast path (see PERFORMANCE.md)."""
         return cls.full_mixture(**{**dict(
             data_term="chebyshev", cheb_p=96, cheb_q=16, quad_chunk=27,
+            edge_quad="reduced",
         ), **kw})
 
     @classmethod

@@ -28,11 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FlowRange, GQMAPConfig
-from ..ops.gq import EDGE, NODE, finalize, gq_accumulate, gq_ei
+from ..ops.gq import EDGE, NODE, finalize, gq_accumulate, gq_accumulate_diff, gq_ei
 from ..ops.interp import pad_cubic, upsample_cubic
 from ..ops.mixture import extract_map
 from ..ops.potentials import make_edge_pot, make_node_pot_bicubic, make_node_pot_nearest
-from ..ops.quadrature import build_table
+from ..ops.quadrature import build_table, build_table_1d
 from ..ops.simplex import project_simplex, softmax, softmax_natural_step
 
 _E_CONST1 = 1.0 + math.log(2.0 * math.pi)
@@ -219,11 +219,20 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
     b = cfg.border
     tab = build_table(cfg.K, cfg.quad_chunk, dt)
     if cfg.edge_kind == "truncquad":
-        from ..ops.potentials import make_edge_pot_truncquad
+        from ..ops.potentials import make_edge_pot_truncquad, make_edge_pot_truncquad_diff
 
         edge_f = make_edge_pot_truncquad(cfg.gama, cfg.dta)
+        edge_fd = make_edge_pot_truncquad_diff(cfg.gama, cfg.dta)
     else:
+        from ..ops.potentials import make_edge_pot_diff
+
         edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
+        edge_fd = make_edge_pot_diff(cfg.lambdas, cfg.epsn)
+    if cfg.edge_quad == "reduced":
+        k1 = cfg.edge_quad_k if cfg.edge_quad_k > 0 else 2 * cfg.K + 3
+        tab1 = build_table_1d(k1, dtype=dt)
+    elif cfg.edge_quad != "tensor":
+        raise ValueError(f"unknown edge_quad {cfg.edge_quad!r}")
     n_interior = (M - 2 * b) * (N - 2 * b) * L
     softmax_mode = cfg.alpha_update == "softmax_natural"
 
@@ -303,7 +312,10 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
             o1e = sg[None]
             u2e = jnp.stack([roll(mu, -1, -2), roll(mu, -1, -1)], axis=0)
             o2e = jnp.stack([roll(sg, -1, -2), roll(sg, -1, -1)], axis=0)
-            raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
+            if cfg.edge_quad == "reduced":
+                raw_e = gq_accumulate_diff(edge_fd, u1e, u2e, o1e, o2e, state.rou, tab1)
+            else:
+                raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
             ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
 
             # --- gradient assembly: endpoint-1 terms stay, endpoint-2 terms

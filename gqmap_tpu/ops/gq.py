@@ -38,9 +38,19 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .quadrature import QuadTable
+from .quadrature import QuadTable, QuadTable1D
 
-__all__ = ["GQRaw", "GQGrads", "gq_accumulate", "gq_ei", "finalize", "NODE", "EDGE"]
+__all__ = [
+    "GQRaw",
+    "GQGrads",
+    "gq_accumulate",
+    "gq_accumulate_diff",
+    "gq_ei",
+    "finalize",
+    "finalize_closed",
+    "NODE",
+    "EDGE",
+]
 
 _SQRT2 = math.sqrt(2.0)
 _CONST1 = 1.0 + math.log(2.0 * math.pi)  # 1 + log(2*pi), entropy constant
@@ -139,6 +149,91 @@ def cshape_tail(site_shape, C: int) -> tuple[int, ...]:
     return (C,) + (1,) * len(site_shape)
 
 
+def gq_accumulate_diff(
+    gd: Callable[[jnp.ndarray], jnp.ndarray],
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+    o1: jnp.ndarray,
+    o2: jnp.ndarray,
+    p: jnp.ndarray,
+    tab: QuadTable1D,
+    *,
+    unroll: int = 1,
+) -> GQRaw:
+    """Difference-reduced quadrature: the six sums for ``f(x1,x2) = gd(x1-x2)``.
+
+    TPU-native replacement for the K^2-point tensor rule on *edge* potentials
+    (both reference edge families are pure difference potentials:
+    ``gqmap_gpu_mixture.m:180-182``, ``legacy/gqmap_cpu.m:42-44``). Under the
+    whitened bivariate Gaussian, ``d = x1 - x2 = delta + a*XI + b*XJ`` with
+
+        a = o1e*s - o2e*t,   b = o1e*t - o2e*s,   c = a^2 + b^2,
+
+    so ``d`` is 1-D Gaussian and every accumulated monomial's conditional
+    expectation given ``d`` is a quadratic polynomial in ``r = d - delta``:
+
+        E[z_i | r]            = (o1e - p*o2e)/c * r
+        E[z_j | r]            = (p*o1e - o2e)/c * r
+        E[XI^2+XJ^2 - 1 | r]  = r^2/c - 1/2
+        E[XI^2-XJ^2 | r]      = (a^2-b^2)/c * (r^2/c - 1/2),  a^2-b^2 = (o1e^2-o2e^2)*sqrt(1-p^2)
+        E[XI*XJ | r]          = ab/c * (r^2/c - 1/2),         ab = p*(o1e^2+o2e^2)/2 - o1e*o2e
+
+    A K-point 1-D rule over ``d`` therefore reproduces the K^2-point tensor
+    sums (exactly so whenever the tensor rule integrates its transverse
+    direction exactly, i.e. always for these degree-<=2 monomial weights):
+    with ``r_k = sqrt(c) x_k``, ``H0 = sum w g``, ``H1 = sum w g x``,
+    ``H2 = sum w g (x^2 - 1/2)``,
+
+        Ei  = sqrt(pi) H0                 Sa  = sqrt(pi) H2
+        Z1  = sqrt(pi) (o1e - p*o2e)/sqrt(c) H1
+        Z2  = sqrt(pi) (p*o1e - o2e)/sqrt(c) H1
+        Sm  = sqrt(pi) (o1e^2-o2e^2) sqrt(1-p^2)/c H2
+        Sxy = sqrt(pi) (p(o1e^2+o2e^2)/2 - o1e o2e)/c H2
+
+    K evaluations of ``gd`` instead of K^2 of ``f`` — and identical
+    downstream :func:`finalize` semantics.
+    """
+    dtype = u1.dtype
+    o1e = o1 * _SQRT2
+    o2e = o2 * _SQRT2
+    delta = u1 - u2
+    c = o1e * o1e + o2e * o2e - 2.0 * p * o1e * o2e
+    c = jnp.maximum(c, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    rc = jnp.sqrt(c)
+
+    site_shape = jnp.broadcast_shapes(u1.shape, u2.shape, o1.shape, o2.shape, p.shape)
+    zeros = jnp.zeros(site_shape, dtype)
+    tabj = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype).reshape((a.shape[0],) + cshape_tail(site_shape, a.shape[1])),
+        tab,
+    )
+
+    def body(carry, tc):
+        h0, h1, h2 = carry
+        x, w = tc
+        gv = w * gd(delta + rc * x)
+        return (
+            h0 + jnp.sum(gv, 0),
+            h1 + jnp.sum(gv * x, 0),
+            h2 + jnp.sum(gv * (x * x - 0.5), 0),
+        ), None
+
+    (H0, H1, H2), _ = jax.lax.scan(body, (zeros, zeros, zeros), tabj, unroll=unroll)
+
+    sq_pi = jnp.asarray(math.sqrt(math.pi), dtype)
+    h1s = sq_pi * H1 / rc
+    h2s = sq_pi * H2 / c
+    sq = o1e * o1e - o2e * o2e
+    return GQRaw(
+        Ei=sq_pi * H0,
+        Z1=(o1e - p * o2e) * h1s,
+        Z2=(p * o1e - o2e) * h1s,
+        Sa=sq_pi * H2,
+        Sm=sq * jnp.sqrt(1.0 - p * p) * h2s,
+        Sxy=(0.5 * p * (o1e * o1e + o2e * o2e) - o1e * o2e) * h2s,
+    )
+
+
 def finalize(
     raw: GQRaw,
     a: jnp.ndarray,
@@ -169,6 +264,32 @@ def finalize(
     dp = a * ((2.0 * raw.Sxy - p * raw.Sa) * inv_pi + cn * p) / pr
     E = a * da
     return GQGrads(da=da, du1=du1, du2=du2, do1=do1, do2=do2, dp=dp, E=E)
+
+
+def finalize_closed(
+    Ef, dEdu1, dEdu2, dEdo1, dEdo2, dEdp,
+    a, o1, o2, p, T, entropy_scale: float,
+) -> GQGrads:
+    """:func:`finalize` for estimators that produce *exact derivatives of the
+    expected potential* directly (e.g. the closed-form cosine data term)
+    instead of raw quadrature sums.
+
+    The Stein-identity outputs of :func:`finalize` are precisely
+    ``a * dE/dtheta`` plus the temperature (Bethe-entropy) terms; this
+    applies the same alpha weighting and entropy corrections to closed-form
+    ``dE/dtheta`` inputs, keeping one semantics for both paths
+    (``gqmap_gpu_mixture.m:107-115`` / ``:137-145``).
+    """
+    dtype = Ef.dtype
+    cn = jnp.asarray(entropy_scale, dtype) * jnp.asarray(T, dtype)
+    pr = 1.0 - p * p
+    da = Ef - cn * (_CONST1 + jnp.log(jnp.sqrt(pr) * o1 * o2))
+    du1 = a * dEdu1
+    du2 = a * dEdu2
+    do1 = a * (dEdo1 - cn / o1)
+    do2 = a * (dEdo2 - cn / o2)
+    dp = a * (dEdp + cn * p / pr)
+    return GQGrads(da=da, du1=du1, du2=du2, do1=do1, do2=do2, dp=dp, E=a * da)
 
 
 def gq_ei(

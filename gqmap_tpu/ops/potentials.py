@@ -33,7 +33,9 @@ __all__ = [
     "make_node_pot_nearest",
     "make_node_pot_quadratic",
     "make_edge_pot",
+    "make_edge_pot_diff",
     "make_edge_pot_truncquad",
+    "make_edge_pot_truncquad_diff",
 ]
 
 
@@ -145,6 +147,21 @@ def make_edge_pot(lambdas: float, epsn: float) -> Callable:
     return f
 
 
+def make_edge_pot_diff(lambdas: float, epsn: float) -> Callable:
+    """Difference form of the Charbonnier edge potential: ``gd(d) = f(d, 0)``.
+
+    Both reference edge families depend only on ``x1 - x2``; this form feeds
+    the 1-D reduced quadrature (:func:`gqmap_tpu.ops.gq.gq_accumulate_diff`).
+    """
+
+    def gd(d: jnp.ndarray) -> jnp.ndarray:
+        lam = jnp.asarray(lambdas, d.dtype)
+        eps = jnp.asarray(epsn, d.dtype)
+        return -lam * jnp.sqrt(eps + d * d)
+
+    return gd
+
+
 def make_edge_pot_truncquad(gama: float, dta: float) -> Callable:
     """Truncated-quadratic edge potential (``legacy/gqmap_cpu.m:42-44``).
 
@@ -158,6 +175,16 @@ def make_edge_pot_truncquad(gama: float, dta: float) -> Callable:
         return -(d * d) / (2.0 * jnp.asarray(gama, x1.dtype))
 
     return f
+
+
+def make_edge_pot_truncquad_diff(gama: float, dta: float) -> Callable:
+    """Difference form of the truncated-quadratic edge potential."""
+
+    def gd(d: jnp.ndarray) -> jnp.ndarray:
+        d = jnp.where(jnp.abs(d) > dta, jnp.zeros_like(d), d)
+        return -(d * d) / (2.0 * jnp.asarray(gama, d.dtype))
+
+    return gd
 
 
 def make_node_pot_quadratic(init_flow, var: float):

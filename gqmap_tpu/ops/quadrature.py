@@ -21,7 +21,7 @@ from typing import NamedTuple
 import numpy as np
 import scipy.linalg
 
-__all__ = ["gauss_hermite", "QuadTable", "build_table"]
+__all__ = ["gauss_hermite", "QuadTable", "QuadTable1D", "build_table", "build_table_1d"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -68,6 +68,33 @@ class QuadTable(NamedTuple):
     @property
     def chunk(self) -> int:
         return self.xi.shape[1]
+
+
+class QuadTable1D(NamedTuple):
+    """Chunked 1-D Gauss-Hermite table (for difference-reduced edge
+    quadrature, :func:`gqmap_tpu.ops.gq.gq_accumulate_diff`). Fields have
+    shape ``(steps, chunk)``; trailing pad points have ``w == 0``."""
+
+    x: np.ndarray
+    w: np.ndarray
+
+    @property
+    def steps(self) -> int:
+        return self.x.shape[0]
+
+
+def build_table_1d(K: int, chunk: int = 0, dtype=np.float32) -> QuadTable1D:
+    """Chunked 1-D K-point Gauss-Hermite table (weight ``exp(-x^2)``)."""
+    x, w = gauss_hermite(K)
+    if chunk <= 0 or chunk > K:
+        chunk = K
+    steps = -(-K // chunk)
+    pad = steps * chunk - K
+
+    def prep(a):
+        return np.pad(a, (0, pad)).reshape(steps, chunk).astype(dtype)
+
+    return QuadTable1D(x=prep(x), w=prep(w))
 
 
 def build_table(K: int, chunk: int = 0, dtype=np.float32) -> QuadTable:

@@ -158,3 +158,82 @@ def test_chunking_invariance():
         outs.append(np.stack([np.asarray(x) for x in raw]))
     for o in outs[1:]:
         np.testing.assert_allclose(o, outs[0], rtol=1e-12, atol=1e-12)
+
+
+def _rand_edge_sites(seed=0, shape=(4, 5)):
+    r = np.random.default_rng(seed)
+    return (
+        r.normal(size=shape) * 3,
+        r.normal(size=shape) * 3,
+        r.uniform(0.3, 4, shape),
+        r.uniform(0.3, 4, shape),
+        r.uniform(-0.95, 0.95, shape),
+    )
+
+
+def test_reduced_edge_quadrature_polynomial_exact():
+    # For polynomial difference potentials both rules are exact, so the
+    # 1-D reduction must reproduce the K^2 tensor sums to fp precision.
+    from gqmap_tpu.ops.gq import gq_accumulate_diff
+    from gqmap_tpu.ops.quadrature import build_table_1d
+
+    K = 7
+    arrs = list(map(jnp.asarray, _rand_edge_sites()))
+    for g in [lambda d: d * d, lambda d: 0.5 - d + 0.25 * d**3]:
+        f = lambda x1, x2: g(x1 - x2)
+        raw_t = gq_accumulate(f, *arrs, build_table(K, dtype=np.float64))
+        raw_r = gq_accumulate_diff(g, *arrs, build_table_1d(K, dtype=np.float64))
+        for a, b, name in zip(raw_t, raw_r, raw_t._fields):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-10, atol=1e-10, err_msg=name
+            )
+
+
+def test_reduced_edge_quadrature_charbonnier():
+    # Non-polynomial g: the reduced K-point rule must match a high-order
+    # tensor rule (the "truth") at least as well as the same-K tensor rule.
+    from gqmap_tpu.ops.gq import gq_accumulate_diff
+    from gqmap_tpu.ops.quadrature import build_table_1d
+
+    lam, eps = 5.0, 1e-6
+    g = lambda d: -lam * jnp.sqrt(eps + d * d)
+    f = lambda x1, x2: g(x1 - x2)
+    arrs = list(map(jnp.asarray, _rand_edge_sites(seed=3)))
+    truth = np.stack([np.asarray(x) for x in gq_accumulate(f, *arrs, build_table(41, dtype=np.float64))])
+    t9 = np.stack([np.asarray(x) for x in gq_accumulate(f, *arrs, build_table(9, dtype=np.float64))])
+    # auto order 2K+3 = 21 (the config default for edge_quad="reduced"):
+    # fewer than a third of the tensor rule's 81 evaluations, lower error.
+    r21 = np.stack([np.asarray(x) for x in gq_accumulate_diff(g, *arrs, build_table_1d(21, dtype=np.float64))])
+    err_t = np.max(np.abs(t9 - truth))
+    err_r = np.max(np.abs(r21 - truth))
+    assert err_r <= err_t, (err_r, err_t)
+    scale = np.max(np.abs(truth))
+    assert err_r <= 2e-2 * scale, (err_r, scale)
+
+
+def test_reduced_edge_sweep_matches_tensor_sweep():
+    # End-to-end: a single sweep with edge_quad="reduced" produces the same
+    # updates as the tensor rule up to the (~1%) discretization difference
+    # of the two equally-valid quadratures. Multi-sweep *state* comparison is
+    # meaningless here: early gradients saturate the mu clamps, so any tiny
+    # gradient difference flips pixels between the two bounds.
+    from gqmap_tpu.config import FlowRange, GQMAPConfig
+    from gqmap_tpu.models.gqmap import init_state, make_problem, make_sweep
+
+    r = np.random.default_rng(0)
+    I1 = r.uniform(0, 255, (24, 32))
+    I2 = np.roll(I1, 1, axis=1)
+    fr = FlowRange(-2.0, 2.0, -2.0, 2.0)
+    outs = {}
+    for eq in ("tensor", "reduced"):
+        cfg = GQMAPConfig.full_mixture(dtype="float64", edge_quad=eq, its=40)
+        problem = make_problem(cfg, I1, I2, fr)
+        state = init_state(cfg, fr, I1.shape)
+        sweep = jax.jit(make_sweep(cfg, I1.shape))
+        new, aux = sweep(problem, state)
+        outs[eq] = (np.asarray(new.muu) - np.asarray(state.muu), float(aux.energy))
+    dmu_t, e_t = outs["tensor"]
+    dmu_r, e_r = outs["reduced"]
+    scale = np.abs(dmu_t).max()
+    assert np.abs(dmu_r - dmu_t).max() <= 3e-2 * scale
+    np.testing.assert_allclose(e_r, e_t, rtol=2e-2)
