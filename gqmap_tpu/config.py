@@ -37,6 +37,11 @@ class GQMAPConfig:
     patch: int = 1                # flow node owns patch x patch image pixels (super: 4)
     data_term: str = "bicubic"    # "bicubic" | "nearest" (legacy I2_cont lookup)
                                   # | "chebyshev" (gather-free spectral term)
+                                  # | "cosine" (closed-form spectral term: the
+                                  #   Gaussian expectation of every mode is the
+                                  #   characteristic function — no node
+                                  #   quadrature at all, exact gradients;
+                                  #   degrees/margin shared with cheb_p/q/margin)
     rfc: int = 6                  # upsample factor exponent for data_term="nearest"
     cheb_p: int = 96              # u-degree of the spectral data term
     cheb_q: int = 32              # v-degree

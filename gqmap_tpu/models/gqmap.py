@@ -129,6 +129,17 @@ def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) 
                flow_range.minv - m, flow_range.maxv + m)
         cheb = build_cheb_data(I1, tab, cfg.lambdad, cfg.epsn, box,
                                P=cfg.cheb_p, Q=cfg.cheb_q, patch=cfg.patch)
+    elif cfg.data_term == "cosine":
+        tab = pad_cubic(I2)
+        if flow_range is None:
+            raise ValueError("data_term='cosine' needs flow_range at make_problem")
+        from ..ops.cosine import build_cos_data
+
+        m = cfg.cheb_margin
+        box = (flow_range.minu - m, flow_range.maxu + m,
+               flow_range.minv - m, flow_range.maxv + m)
+        cheb = build_cos_data(I1, tab, cfg.lambdad, cfg.epsn, box,
+                              A=cfg.cheb_p, B=cfg.cheb_q, patch=cfg.patch)
     else:
         raise ValueError(f"unknown data_term {cfg.data_term!r}")
     M, N = flow_lattice_shape(cfg, I1.shape)
@@ -169,6 +180,10 @@ def _interior_mask(M: int, N: int, border: int):
 
 
 def _node_f(cfg: GQMAPConfig, problem: Problem, origin=None, local_image_shape=None):
+    if cfg.data_term == "cosine":
+        if origin is not None:
+            raise NotImplementedError("cosine data term + shard_map halo path")
+        return None  # closed-form path: no per-sample potential callable
     if cfg.data_term == "quadratic":
         from ..ops.potentials import make_node_pot_quadratic
 
@@ -273,9 +288,14 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
             # (gqmap_gpu_mixture.m:36,48 vs :37-46).
             def expected_energy(muu_, muv_, su_, sv_, pn_, rou_):
                 a3_ = alpha.reshape(L, 1, 1)
-                ei_n = gq_ei(node_f, muu_, muv_, su_, sv_, pn_, tab)
+                if cfg.data_term == "cosine":
+                    from ..ops.cosine import cos_ei
+
+                    en = cos_ei(problem.cheb, muu_, muv_, su_, sv_, pn_, cfg.cheb_ablock)
+                else:
+                    en = gq_ei(node_f, muu_, muv_, su_, sv_, pn_, tab) * _INV_PI
                 Hn = _E_CONST1 + jnp.log(jnp.sqrt(1.0 - pn_ * pn_) * su_ * sv_)
-                da_n = ei_n * _INV_PI - 3.0 * T * Hn
+                da_n = en - 3.0 * T * Hn
                 mu_ = jnp.stack([muu_, muv_], axis=0)
                 sg_ = jnp.stack([su_, sv_], axis=0)
                 u2e_ = jnp.stack([roll(mu_, -1, -2), roll(mu_, -1, -1)], axis=0)
@@ -300,10 +320,18 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
             dmuu, dmuv, dsigmau, dsigmav, dpn_g, drou_g = grads
         else:
             # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
-            raw_n = gq_accumulate(
-                node_f, state.muu, state.muv, state.sigmau, state.sigmav, state.pn, tab
-            )
-            gn = finalize(raw_n, a3, state.sigmau, state.sigmav, state.pn, T, NODE)
+            if cfg.data_term == "cosine":
+                from ..ops.cosine import cos_node_grads
+
+                gn = cos_node_grads(
+                    problem.cheb, state.muu, state.muv, state.sigmau,
+                    state.sigmav, state.pn, a3, T, NODE, cfg.cheb_ablock,
+                )
+            else:
+                raw_n = gq_accumulate(
+                    node_f, state.muu, state.muv, state.sigmau, state.sigmav, state.pn, tab
+                )
+                gn = finalize(raw_n, a3, state.sigmau, state.sigmav, state.pn, T, NODE)
 
             # --- edge kernel (:31-34, :118-146); dims (dir, chan, L, M, N) ---
             mu = jnp.stack([state.muu, state.muv], axis=0)        # (chan, L, M, N)
@@ -450,7 +478,7 @@ def make_logp_fn(cfg: GQMAPConfig, image_shape):
     edge_f = make_edge_pot(cfg.lambdas, cfg.epsn)
 
     lp_cfg = cfg
-    if cfg.data_term in ("chebyshev", "quadratic"):
+    if cfg.data_term in ("chebyshev", "cosine", "quadratic"):
         lp_cfg = dataclasses.replace(cfg, data_term="bicubic")
 
     @jax.jit

@@ -97,6 +97,26 @@ def main():
     t_full2 = timeit(lambda p, s: sweep2(p, s)[0], problem2, state)
     print(f"full sweep (tpu_fast, reduced edges): {t_full2*1e3:8.2f} ms")
 
+    # cosine node term (closed form)
+    from gqmap_tpu.ops.cosine import cos_node_grads
+    from gqmap_tpu.ops.gq import NODE
+
+    cfg3 = GQMAPConfig.tpu_fast(dtype="float32", data_term="cosine")
+    problem3 = make_problem(cfg3, I1, I2, fr)
+
+    @jax.jit
+    def node_cos(problem, state):
+        a3 = jnp.ones((cfg3.L, 1, 1), jnp.float32) / cfg3.L
+        return cos_node_grads(problem.cheb, state.muu, state.muv, state.sigmau,
+                              state.sigmav, state.pn, a3, 0.0, NODE, cfg3.cheb_ablock)
+
+    t_node_c = timeit(node_cos, problem3, state)
+    print(f"node (cosine CF):  {t_node_c*1e3:8.2f} ms")
+
+    sweep3 = jax.jit(make_sweep(cfg3, I1.shape))
+    t_full3 = timeit(lambda p, s: sweep3(p, s)[0], problem3, state)
+    print(f"full sweep (cosine + reduced edges): {t_full3*1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
