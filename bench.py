@@ -5,11 +5,12 @@ Prints ONE JSON line:
 
 Metric: Mpixel-sweeps/s/chip of the flagship solver (K=9, L=3 mixture) at
 Middlebury Teddy scale — the reference's headline workload
-(``optical_flow.m``) — using the TPU-native gather-free spectral data term
-(see PERFORMANCE.md; the exact gather-based term is 70x slower on v5e,
-whose XLA gathers scalarize). The reference publishes no numbers
-(BASELINE.md), so ``vs_baseline`` is relative to the best previously
-recorded round (``BENCH_r*.json``), or 1.0 on the first measurement.
+(``optical_flow.m``) — using the TPU-native closed-form cosine data term
+and reduced 1-D edge quadrature (see PERFORMANCE.md; the exact
+gather-based term is 70x slower on v5e, whose XLA gathers scalarize). The
+reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+relative to the best previously recorded round (``BENCH_r*.json``), or
+1.0 on the first measurement.
 
 Measurement: dependency-chained sweeps with forced literal fetches (on the
 tunneled runtime ``block_until_ready`` does not synchronize).
@@ -65,7 +66,8 @@ def measure(data_term: str, warm_batches: int = 1, batch: int = 5, min_sweeps: i
 
     I1, I2, fr = load_problem_images()
     cfg = GQMAPConfig.full_mixture(
-        dtype="float32", quad_chunk=27, data_term=data_term, cheb_p=96, cheb_q=16
+        dtype="float32", quad_chunk=27, data_term=data_term, cheb_p=96, cheb_q=16,
+        edge_quad="reduced",
     )
     problem = make_problem(cfg, I1, I2, fr)
     state = init_state(cfg, fr, I1.shape)
@@ -92,7 +94,7 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
     value = None
     for attempt, (mode, batch) in enumerate(
-        [("chebyshev", 5), ("chebyshev", 2), ("nearest", 2)]
+        [("cosine", 5), ("chebyshev", 2), ("nearest", 2)]
     ):
         try:
             value = measure(mode, batch=batch)

@@ -57,6 +57,8 @@ def _add_common(p):
     p.add_argument("--data-term", dest="data_term", default=None)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--preprocessed", action="store_true")
+    p.add_argument("--st-preprocess", action="store_true",
+                   help="on-the-fly structure-texture preprocessing (any sequence)")
     p.add_argument("--out", default=None, help="directory for PNG/metrics output")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
@@ -76,7 +78,8 @@ def cmd_run(args):
 
     _fix_kl(args)
     cfg = _cfg_from_args(args)
-    seq = load_sequence(args.seq, scale=args.scale, preprocessed=args.preprocessed)
+    seq = load_sequence(args.seq, scale=args.scale, preprocessed=args.preprocessed,
+                        st_preprocess=args.st_preprocess)
     cb = None
     if args.out:
         from ..evals.metrics import MetricsLogger

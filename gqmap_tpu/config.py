@@ -132,10 +132,11 @@ class GQMAPConfig:
 
     @classmethod
     def tpu_fast(cls, **kw) -> "GQMAPConfig":
-        """Flagship mixture preset with the gather-free spectral data term —
-        the TPU-native fast path (see PERFORMANCE.md)."""
+        """Flagship mixture preset with the TPU-native fast paths: the
+        closed-form cosine data term (zero node quadrature) and the reduced
+        1-D edge quadrature (see PERFORMANCE.md)."""
         return cls.full_mixture(**{**dict(
-            data_term="chebyshev", cheb_p=96, cheb_q=16, quad_chunk=27,
+            data_term="cosine", cheb_p=96, cheb_q=16, quad_chunk=27,
             edge_quad="reduced",
         ), **kw})
 

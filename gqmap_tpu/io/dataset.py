@@ -71,8 +71,16 @@ def list_sequences(with_gt: bool = True) -> list[str]:
     return out
 
 
-def load_sequence(name: str, scale: float = 1.0, preprocessed: bool = False) -> Sequence:
-    """Load frames (grayscale float64) + raw GT flow for a sequence."""
+def load_sequence(
+    name: str, scale: float = 1.0, preprocessed: bool = False,
+    st_preprocess: bool = False,
+) -> Sequence:
+    """Load frames (grayscale float64) + raw GT flow for a sequence.
+
+    ``preprocessed`` loads the reference's shipped ``.mat`` inputs (4
+    sequences only); ``st_preprocess`` computes the structure-texture
+    decomposition on the fly for ANY sequence (the generator the reference
+    never shipped — :mod:`gqmap_tpu.io.preprocess`)."""
     root = data_root()
     d = root / name
     if not d.is_dir():
@@ -97,6 +105,11 @@ def load_sequence(name: str, scale: float = 1.0, preprocessed: bool = False) -> 
 
             img1 = imresize(img1, scale)
             img2 = imresize(img2, scale)
+        if st_preprocess:
+            from .preprocess import structure_texture
+
+            img1 = structure_texture(img1)
+            img2 = structure_texture(img2)
 
     flo_path = d / "flow10.flo"
     gt = read_flo(flo_path) if flo_path.is_file() else None

@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: fused cosine-spectral node term (mode sums in VMEM).
+
+The XLA lowering of :func:`gqmap_tpu.ops.cosine._mode_sums` runs at a few
+hundred Gflop/s: the unrolled (a, b) mode loop produces thousands of small
+(L, M, N) elementwise ops whose intermediates spill to HBM between fusions
+(measured in ``scripts/cosine_variants.py`` — the cost is the six gradient
+accumulators, not the transcendentals). This kernel runs the whole mode
+loop per lattice tile inside VMEM: the per-pixel coefficient field streams
+in once (grid over u-degree blocks, outputs accumulated across the inner
+grid axis), every intermediate lives in vector registers, and the six mode
+sums are written exactly once per tile.
+
+Math identical to :mod:`gqmap_tpu.ops.cosine` (characteristic-function
+closed form of ``E[cos(a th1(x1)) cos(b th2(x2))]`` with the stable
+exponent split); reference semantics per ``gqmap_gpu_mixture.m:87-116``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cos_mode_sums_pallas", "cos_node_grads_pallas"]
+
+
+def _kernel(u1_ref, u2_ref, o1_ref, o2_ref, p_ref, c_ref,
+            e0_ref, a1_ref, a2_ref, aa_ref, ab_ref, ax_ref,
+            *, a_block: int, B: int, lo_u: float, hi_u: float,
+            lo_v: float, hi_v: float):
+    dtype = u1_ref.dtype
+    ku = jnp.asarray(math.pi / (hi_u - lo_u), dtype)
+    kv = jnp.asarray(math.pi / (hi_v - lo_v), dtype)
+
+    u1 = u1_ref[0]
+    u2 = u2_ref[0]
+    o1 = o1_ref[0]
+    o2 = o2_ref[0]
+    p = p_ref[0]
+
+    ph1 = ku * (u1 - lo_u)
+    ph2 = kv * (u2 - lo_v)
+    s1 = ku * o1
+    s2 = kv * o2
+    gm = s1 * s2 * (1.0 - p)
+    gp = s1 * s2 * (1.0 + p)
+    c1, sn1 = jnp.cos(ph1), jnp.sin(ph1)
+    c2, sn2 = jnp.cos(ph2), jnp.sin(ph2)
+
+    ia = pl.program_id(1)
+    a0f = (ia * a_block).astype(dtype)
+    ca, sa = jnp.cos(a0f * ph1), jnp.sin(a0f * ph1)
+
+    zeros = jnp.zeros_like(u1)
+    ones = jnp.ones_like(u1)
+
+    # Loops stay lax.fori_loop (NOT python-unrolled): the remote Mosaic
+    # compile scales with program size, and a_block*B unrolled mode bodies
+    # take minutes to build for no measurable runtime gain — the body is
+    # uniform vector work far above loop overhead.
+    def a_body(j, carry):
+        ca, sa, E0, A1, A2, Aa, Ab, Ax = carry
+        af = a0f + j.astype(dtype)
+        as1 = af * s1
+        agm = af * gm
+        agp = af * gp
+
+        def b_body(b, c):
+            cb, sb, m, sE, sEb, sP, sPm, sXb = c
+            bf = b.astype(dtype)
+            h = -0.5 * (m * m)
+            Wm = jnp.exp(h - bf * agm)
+            Wp = jnp.exp(h - bf * agp)
+            t1 = ca * cb
+            t2 = sa * sb
+            t3 = sa * cb
+            t4 = ca * sb
+            cab = c_ref[0, j, b]
+            cWm = cab * Wm
+            cWp = cab * Wp
+            cU = cWm * (t1 + t2)
+            cV = cWp * (t1 - t2)
+            cP = cWm * (t3 - t4)
+            cQ = cWp * (t3 + t4)
+            uv = cU + cV
+            return (
+                cb * c2 - sb * sn2,
+                sb * c2 + cb * sn2,
+                m - s2,
+                sE + uv,
+                sEb + (bf * bf) * uv,
+                sP + (cP + cQ),
+                sPm + bf * (cP - cQ),
+                sXb + bf * (cU - cV),
+            )
+
+        init = (ones, zeros, as1, zeros, zeros, zeros, zeros, zeros)
+        _, _, _, sE, sEb, sP, sPm, sXb = jax.lax.fori_loop(0, B, b_body, init)
+        return (
+            ca * c1 - sa * sn1,
+            sa * c1 + ca * sn1,
+            E0 + sE,
+            A1 + af * sP,
+            A2 + sPm,
+            Aa + (af * af) * sE,
+            Ab + sEb,
+            Ax + af * sXb,
+        )
+
+    init = (ca, sa, zeros, zeros, zeros, zeros, zeros, zeros)
+    _, _, E0, A1, A2, Aa, Ab, Ax = jax.lax.fori_loop(0, a_block, a_body, init)
+
+    @pl.when(ia == 0)
+    def _init():
+        e0_ref[0] = E0
+        a1_ref[0] = A1
+        a2_ref[0] = A2
+        aa_ref[0] = Aa
+        ab_ref[0] = Ab
+        ax_ref[0] = Ax
+
+    @pl.when(ia != 0)
+    def _acc():
+        e0_ref[0] += E0
+        a1_ref[0] += A1
+        a2_ref[0] += A2
+        aa_ref[0] += Aa
+        ab_ref[0] += Ab
+        ax_ref[0] += Ax
+
+
+def cos_mode_sums_pallas(
+    cos, u1, u2, o1, o2, p,
+    a_block: int = 8, rows: int = 8, interpret: bool = False,
+):
+    """Six cosine mode sums over ``(L, M, N)`` state (see ops/cosine.py).
+
+    Grid: ``(M/rows, A/a_block)`` — the u-degree axis is innermost so each
+    lattice tile's six output blocks accumulate in VMEM across coefficient
+    blocks (one coefficient DMA stream, one output write per tile).
+    """
+    coeffs = cos.coeffs
+    A, B = coeffs.shape[:2]
+    L, M, N = jnp.broadcast_shapes(u1.shape, u2.shape, o1.shape, o2.shape, p.shape)
+    dtype = u1.dtype
+
+    args = [jnp.broadcast_to(x, (L, M, N)) for x in (u1, u2, o1, o2, p)]
+
+    rows = min(rows, M)
+    while M % rows:
+        rows -= 1
+    nA = -(-A // a_block)
+    if nA * a_block != A:
+        coeffs = jnp.pad(coeffs, ((0, nA * a_block - A), (0, 0), (0, 0), (0, 0)))
+    cblocks = coeffs.reshape(nA, a_block, B, M, N)
+
+    grid = (M // rows, nA)
+    state_spec = pl.BlockSpec(
+        (1, L, rows, N), lambda im, ia: (0, 0, im, 0), memory_space=pltpu.VMEM
+    )
+    coeff_spec = pl.BlockSpec(
+        (1, a_block, B, rows, N), lambda im, ia: (ia, 0, 0, im, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = state_spec
+    out_shape = [jax.ShapeDtypeStruct((1, L, M, N), dtype)] * 6
+
+    fn = pl.pallas_call(
+        functools.partial(
+            _kernel, a_block=a_block, B=B,
+            lo_u=float(cos.lo_u), hi_u=float(cos.hi_u),
+            lo_v=float(cos.lo_v), hi_v=float(cos.hi_v),
+        ),
+        grid=grid,
+        in_specs=[state_spec] * 5 + [coeff_spec],
+        out_specs=[out_spec] * 6,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+    outs = fn(*[x[None] for x in args], cblocks)
+    return tuple(o[0] for o in outs)
+
+
+def cos_node_grads_pallas(
+    cos, u1, u2, o1, o2, p, a, T, entropy_scale: float,
+    a_block: int = 8, rows: int = 8, interpret: bool = False,
+):
+    """Drop-in Pallas replacement for :func:`gqmap_tpu.ops.cosine.cos_node_grads`."""
+    from ..ops.cosine import _finalize_mode_sums
+
+    E0, A1, A2, Aa, Ab, Ax = cos_mode_sums_pallas(
+        cos, u1, u2, o1, o2, p, a_block=a_block, rows=rows, interpret=interpret
+    )
+    return _finalize_mode_sums(
+        cos, (E0, A1, A2, Aa, Ab, Ax), u1, o1, o2, p, a, T, entropy_scale
+    )

@@ -215,6 +215,26 @@ def cos_ei(cos: CosData, u1, u2, o1, o2, p, a_block: int = 8) -> jnp.ndarray:
     return 0.5 * E0
 
 
+def _finalize_mode_sums(
+    cos: CosData, sums, u1, o1, o2, p, a, T, entropy_scale: float
+) -> GQGrads:
+    """Turn the six mode sums into finalized gradients (shared by the XLA
+    path and the Pallas kernel, :mod:`gqmap_tpu.kernels.cosine_gq`)."""
+    E0, A1, A2, Aa, Ab, Ax = sums
+    dtype = E0.dtype
+    ku = jnp.asarray(math.pi, dtype) / (cos.hi_u - cos.lo_u)
+    kv = jnp.asarray(math.pi, dtype) / (cos.hi_v - cos.lo_v)
+    s1 = ku * o1
+    s2 = kv * o2
+    Ef = 0.5 * E0
+    dEdu1 = -0.5 * ku * A1
+    dEdu2 = 0.5 * kv * A2
+    dEdo1 = 0.5 * ku * (s2 * p * Ax - s1 * Aa)
+    dEdo2 = 0.5 * kv * (s1 * p * Ax - s2 * Ab)
+    dEdp = 0.5 * s1 * s2 * Ax
+    return finalize_closed(Ef, dEdu1, dEdu2, dEdo1, dEdo2, dEdp, a, o1, o2, p, T, entropy_scale)
+
+
 def cos_node_grads(
     cos: CosData, u1, u2, o1, o2, p, a, T, entropy_scale: float,
     a_block: int = 8,
@@ -222,14 +242,5 @@ def cos_node_grads(
     """Expected node potential and its five exact parameter gradients,
     finalized with the alpha weighting and Bethe-entropy terms exactly like
     the quadrature path (:func:`gqmap_tpu.ops.gq.finalize`)."""
-    (E0, A1, A2, Aa, Ab, Ax), (ku, kv, s1, s2) = _mode_sums(
-        cos, u1, u2, o1, o2, p, a_block, want_grads=True
-    )
-    Ef = 0.5 * E0
-    dEdu1 = -0.5 * ku * A1
-    dEdu2 = 0.5 * kv * A2
-    sxA = s2 * p * Ax
-    dEdo1 = 0.5 * ku * (sxA - s1 * Aa)
-    dEdo2 = 0.5 * kv * (s1 * p * Ax - s2 * Ab)
-    dEdp = 0.5 * s1 * s2 * Ax
-    return finalize_closed(Ef, dEdu1, dEdu2, dEdo1, dEdo2, dEdp, a, o1, o2, p, T, entropy_scale)
+    sums, _ = _mode_sums(cos, u1, u2, o1, o2, p, a_block, want_grads=True)
+    return _finalize_mode_sums(cos, sums, u1, o1, o2, p, a, T, entropy_scale)

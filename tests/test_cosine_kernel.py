@@ -1,0 +1,44 @@
+"""Pallas cosine-mode-sum kernel vs the XLA reference path (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gqmap_tpu.kernels.cosine_gq import cos_mode_sums_pallas, cos_node_grads_pallas
+from gqmap_tpu.ops.cosine import _mode_sums, cos_node_grads
+from gqmap_tpu.ops.gq import NODE
+
+from test_cosine import _rand_sites, _toy_cosdata
+
+
+def test_mode_sums_match_xla():
+    cos = _toy_cosdata(A=20, B=6, M=16, N=24, seed=7)
+    u1, u2, o1, o2, p = _rand_sites(M=16, N=24, L=3, seed=8, sig_hi=2.0)
+    want, _ = _mode_sums(cos, u1, u2, o1, o2, p, a_block=8, want_grads=True)
+    got = cos_mode_sums_pallas(cos, u1, u2, o1, o2, p, a_block=8, rows=8, interpret=True)
+    for g, w, name in zip(got, want, ("E0", "A1", "A2", "Aa", "Ab", "Ax")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-10, atol=1e-10, err_msg=name
+        )
+
+
+def test_mode_sums_ragged_degree_and_rows():
+    # A not a multiple of a_block (zero-padded blocks) and M not a multiple
+    # of the requested rows (auto-shrunk tile).
+    cos = _toy_cosdata(A=13, B=5, M=12, N=16, seed=9)
+    u1, u2, o1, o2, p = _rand_sites(M=12, N=16, L=2, seed=10, sig_hi=1.5)
+    want, _ = _mode_sums(cos, u1, u2, o1, o2, p, a_block=4, want_grads=True)
+    got = cos_mode_sums_pallas(cos, u1, u2, o1, o2, p, a_block=4, rows=8, interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-10, atol=1e-10)
+
+
+def test_node_grads_match_xla():
+    cos = _toy_cosdata(A=16, B=4, M=16, N=16, seed=11)
+    u1, u2, o1, o2, p = _rand_sites(M=16, N=16, L=3, seed=12, sig_hi=2.0)
+    a = jnp.ones((3, 1, 1)) / 3.0
+    want = cos_node_grads(cos, u1, u2, o1, o2, p, a, 0.25, NODE)
+    got = cos_node_grads_pallas(cos, u1, u2, o1, o2, p, a, 0.25, NODE, interpret=True)
+    for g, w, name in zip(got, want, want._fields):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-9, atol=1e-11, err_msg=name
+        )
