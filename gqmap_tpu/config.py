@@ -47,6 +47,11 @@ class GQMAPConfig:
     cheb_q: int = 32              # v-degree
     cheb_margin: float = 2.0      # displacement-box margin beyond the mu range
     cheb_ablock: int = 8          # u-degrees per scan block at evaluation
+    node_kernel: str = "auto"     # cosine-term evaluator: "xla" (lax.scan mode
+                                  # loop), "pallas" (fused VMEM kernel,
+                                  # kernels/cosine_gq.py — measured 2.9x the
+                                  # XLA path on v5e), "auto" (pallas on a
+                                  # single-device TPU backend, else xla)
     quad_var: float = 1.0         # variance of the quadratic node prior (legacy v1)
     edge_kind: str = "charbonnier"  # or "truncquad" (legacy/gqmap_cpu.m:43)
     edge_quad: str = "tensor"     # "tensor": K^2-point 2-D rule (reference

@@ -28,24 +28,21 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["cos_mode_sums_pallas", "cos_node_grads_pallas"]
 
 
-def _kernel(u1_ref, u2_ref, o1_ref, o2_ref, p_ref, c_ref,
+def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
             e0_ref, a1_ref, a2_ref, aa_ref, ab_ref, ax_ref,
-            *, a_block: int, B: int, lo_u: float, hi_u: float,
-            lo_v: float, hi_v: float):
-    dtype = u1_ref.dtype
-    ku = jnp.asarray(math.pi / (hi_u - lo_u), dtype)
-    kv = jnp.asarray(math.pi / (hi_v - lo_v), dtype)
+            *, a_block: int, B: int):
+    dtype = ph1_ref.dtype
 
-    u1 = u1_ref[0]
-    u2 = u2_ref[0]
-    o1 = o1_ref[0]
-    o2 = o2_ref[0]
+    # Phases/scales are precomputed outside (ph = k*(mu - lo), s = k*sigma)
+    # so the kernel needs no scalar box bounds — CosData stays a traceable
+    # jit argument (closing over the ~GB coefficient field is not an option
+    # on the remote-compile runtime).
+    ph1 = ph1_ref[0]
+    ph2 = ph2_ref[0]
+    s1 = s1_ref[0]
+    s2 = s2_ref[0]
     p = p_ref[0]
 
-    ph1 = ku * (u1 - lo_u)
-    ph2 = kv * (u2 - lo_v)
-    s1 = ku * o1
-    s2 = kv * o2
     gm = s1 * s2 * (1.0 - p)
     gp = s1 * s2 * (1.0 + p)
     c1, sn1 = jnp.cos(ph1), jnp.sin(ph1)
@@ -55,8 +52,8 @@ def _kernel(u1_ref, u2_ref, o1_ref, o2_ref, p_ref, c_ref,
     a0f = (ia * a_block).astype(dtype)
     ca, sa = jnp.cos(a0f * ph1), jnp.sin(a0f * ph1)
 
-    zeros = jnp.zeros_like(u1)
-    ones = jnp.ones_like(u1)
+    zeros = jnp.zeros_like(ph1)
+    ones = jnp.ones_like(ph1)
 
     # Loops stay lax.fori_loop (NOT python-unrolled): the remote Mosaic
     # compile scales with program size, and a_block*B unrolled mode bodies
@@ -148,17 +145,25 @@ def cos_mode_sums_pallas(
     L, M, N = jnp.broadcast_shapes(u1.shape, u2.shape, o1.shape, o2.shape, p.shape)
     dtype = u1.dtype
 
-    args = [jnp.broadcast_to(x, (L, M, N)) for x in (u1, u2, o1, o2, p)]
+    ku = jnp.asarray(math.pi, dtype) / (cos.hi_u - cos.lo_u)
+    kv = jnp.asarray(math.pi, dtype) / (cos.hi_v - cos.lo_v)
+    ph1 = ku * (u1 - cos.lo_u)
+    ph2 = kv * (u2 - cos.lo_v)
+    s1 = ku * o1
+    s2 = kv * o2
+    args = [jnp.broadcast_to(x, (L, M, N)) for x in (ph1, ph2, s1, s2, p)]
 
+    # Mosaic wants the sublane block dim divisible by 8 (or the full axis);
+    # a ragged final row-block is fine — Pallas masks out-of-bounds writes.
     rows = min(rows, M)
-    while M % rows:
-        rows -= 1
+    if M % rows and rows % 8:
+        rows = min(8, M) if M >= 8 else M
     nA = -(-A // a_block)
     if nA * a_block != A:
         coeffs = jnp.pad(coeffs, ((0, nA * a_block - A), (0, 0), (0, 0), (0, 0)))
     cblocks = coeffs.reshape(nA, a_block, B, M, N)
 
-    grid = (M // rows, nA)
+    grid = (-(-M // rows), nA)
     state_spec = pl.BlockSpec(
         (1, L, rows, N), lambda im, ia: (0, 0, im, 0), memory_space=pltpu.VMEM
     )
@@ -170,11 +175,7 @@ def cos_mode_sums_pallas(
     out_shape = [jax.ShapeDtypeStruct((1, L, M, N), dtype)] * 6
 
     fn = pl.pallas_call(
-        functools.partial(
-            _kernel, a_block=a_block, B=B,
-            lo_u=float(cos.lo_u), hi_u=float(cos.hi_u),
-            lo_v=float(cos.lo_v), hi_v=float(cos.hi_v),
-        ),
+        functools.partial(_kernel, a_block=a_block, B=B),
         grid=grid,
         in_specs=[state_spec] * 5 + [coeff_spec],
         out_specs=[out_spec] * 6,

@@ -254,6 +254,25 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
     roll = dist.roll if dist is not None else jnp.roll
     psum = dist.psum if dist is not None else (lambda x: x)
 
+    # Cosine node-term evaluator choice (trace-time, not runtime): the fused
+    # Pallas kernel is ~2.9x the XLA mode-loop on v5e (PERFORMANCE.md) but is
+    # Mosaic/TPU-only and opaque to GSPMD, so "auto" enables it only for
+    # single-device TPU-backend runs outside the shard_map halo path.
+    use_pallas = False
+    if cfg.data_term == "cosine" and cfg.gradient_estimator != "autodiff":
+        if cfg.node_kernel == "pallas":
+            use_pallas = True
+        elif cfg.node_kernel == "auto" and dist is None:
+            try:
+                use_pallas = (
+                    jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+                    and jax.device_count() == 1
+                )
+            except Exception:
+                use_pallas = False
+        elif cfg.node_kernel not in ("auto", "xla"):
+            raise ValueError(f"unknown node_kernel {cfg.node_kernel!r}")
+
     def sweep(problem: Problem, state: GQState) -> tuple[GQState, SweepAux]:
         if dist is None:
             node_f = _node_f(cfg, problem)
@@ -321,12 +340,21 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
         else:
             # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
             if cfg.data_term == "cosine":
-                from ..ops.cosine import cos_node_grads
+                if use_pallas:
+                    from ..kernels.cosine_gq import cos_node_grads_pallas
 
-                gn = cos_node_grads(
-                    problem.cheb, state.muu, state.muv, state.sigmau,
-                    state.sigmav, state.pn, a3, T, NODE, cfg.cheb_ablock,
-                )
+                    gn = cos_node_grads_pallas(
+                        problem.cheb, state.muu, state.muv, state.sigmau,
+                        state.sigmav, state.pn, a3, T, NODE,
+                        a_block=cfg.cheb_ablock,
+                    )
+                else:
+                    from ..ops.cosine import cos_node_grads
+
+                    gn = cos_node_grads(
+                        problem.cheb, state.muu, state.muv, state.sigmau,
+                        state.sigmav, state.pn, a3, T, NODE, cfg.cheb_ablock,
+                    )
             else:
                 raw_n = gq_accumulate(
                     node_f, state.muu, state.muv, state.sigmau, state.sigmav, state.pn, tab
