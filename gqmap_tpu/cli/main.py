@@ -19,13 +19,14 @@ import sys
 import numpy as np
 
 from ..config import GQMAPConfig
-from ..io.dataset import load_sequence
+from ..io.dataset import crop_to_multiple, load_sequence
 
 PRESETS = {
     "full_mixture": GQMAPConfig.full_mixture,
     "super_entropy": GQMAPConfig.super_entropy,
     "single_gaussian": GQMAPConfig.single_gaussian,
     "tpu_fast": GQMAPConfig.tpu_fast,
+    "tpu_fast_super": GQMAPConfig.tpu_fast_super,
     "legacy_v1": GQMAPConfig.legacy_v1,
     "ctf_level": GQMAPConfig.ctf_level,
 }
@@ -80,6 +81,7 @@ def cmd_run(args):
     cfg = _cfg_from_args(args)
     seq = load_sequence(args.seq, scale=args.scale, preprocessed=args.preprocessed,
                         st_preprocess=args.st_preprocess)
+    seq = crop_to_multiple(seq, cfg.patch)
     cb = None
     if args.out:
         from ..evals.metrics import MetricsLogger
@@ -110,7 +112,7 @@ def cmd_suite(args):
     cfg = _cfg_from_args(args)
     results = {}
     for name in args.seqs.split(","):
-        seq = load_sequence(name.strip(), scale=args.scale)
+        seq = crop_to_multiple(load_sequence(name.strip(), scale=args.scale), cfg.patch)
         res = solve(cfg, seq.img1, seq.img2, gt_flow=seq.gt_flow,
                     verbose=not args.quiet)
         results[name] = res.best_aepe
@@ -135,7 +137,7 @@ def cmd_sweep(args):
 
     _fix_kl(args)
     cfg = _cfg_from_args(args)
-    seq = load_sequence(args.seq, scale=args.scale)
+    seq = crop_to_multiple(load_sequence(args.seq, scale=args.scale), cfg.patch)
     lo, hi, n = args.range
     res = sweep_lambdas(cfg, seq.img1, seq.img2, seq.gt_flow,
                         lambdas=np.linspace(lo, hi, int(n)),

@@ -146,6 +146,18 @@ class GQMAPConfig:
         ), **kw})
 
     @classmethod
+    def tpu_fast_super(cls, **kw) -> "GQMAPConfig":
+        """The reference's strongest-accuracy variant (¼-res super lattice +
+        entropy annealing, ``gqmap_gpuSuper_mix_entropy.m``) on the TPU-native
+        fast paths: the cosine data term expands the *patch-summed* node
+        potential (``build_cos_data(patch=4)``), so the zero-quadrature
+        closed form covers the 4x4-patch data term too."""
+        return cls.super_entropy(**{**dict(
+            data_term="cosine", cheb_p=96, cheb_q=16, quad_chunk=0,
+            edge_quad="reduced",
+        ), **kw})
+
+    @classmethod
     def legacy_v1(cls, **kw) -> "GQMAPConfig":
         """Earliest solver family (``legacy/gqmap_cpu.m``): quadratic node
         prior toward an init flow + truncated-quadratic edges, L=1."""

@@ -19,7 +19,8 @@ import numpy as np
 from .flo import read_flo
 from .images import load_image, rgb2gray
 
-__all__ = ["Sequence", "data_root", "list_sequences", "load_sequence", "SEQUENCES"]
+__all__ = ["Sequence", "crop_to_multiple", "data_root", "list_sequences",
+           "load_sequence", "SEQUENCES"]
 
 # Canonical sequence directory names as shipped (note lower-case rubberwhale).
 SEQUENCES = [
@@ -69,6 +70,23 @@ def list_sequences(with_gt: bool = True) -> list[str]:
             continue
         out.append(name)
     return out
+
+
+def crop_to_multiple(seq: Sequence, k: int) -> Sequence:
+    """Crop frames (and GT) so both dims are multiples of ``k``.
+
+    The super lattice (``gqmap_gpuSuper_mix_entropy.m:11``) needs the image
+    to tile into ``k x k`` patches; native Middlebury sizes all divide by 4
+    but rescaled runs generally don't, so a ragged bottom/right edge is
+    dropped."""
+    if k <= 1:
+        return seq
+    M, N = seq.img1.shape
+    Mc, Nc = (M // k) * k, (N // k) * k
+    if (Mc, Nc) == (M, N):
+        return seq
+    gt = seq.gt_flow[:Mc, :Nc] if seq.gt_flow is not None else None
+    return Sequence(seq.name, seq.img1[:Mc, :Nc], seq.img2[:Mc, :Nc], gt)
 
 
 def load_sequence(

@@ -255,6 +255,20 @@ def test_chebyshev_super_patch():
     assert np.abs(ve - vc).mean() / np.abs(ve).max() < 0.01
 
 
+def test_tpu_fast_super_preset_runs_and_improves():
+    # flagship-accuracy fast preset: cosine closed-form data term over the
+    # PATCH-SUMMED potential (patch=4) + reduced 1-D edges, end to end
+    I1, I2, gt = shifted_pair(32, 40, seed=3)
+    cfg = GQMAPConfig.tpu_fast_super(
+        K=5, its=600, eval_every=200, dtype="float64",
+        cheb_p=48, cheb_q=48, step0=0.01, step_tau=400.0,
+    )
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2), seed=1)
+    assert res.map.shape == (8, 10, 2)
+    assert np.isfinite(res.Energy[:600]).all()
+    assert res.best_aepe < 0.7 * res.AEPE[199], (res.AEPE[199], res.best_aepe)
+
+
 def test_seeded_regression_lock():
     # deterministic seeded run on a fixed synthetic pair: locks the exact
     # AEPE/Energy trajectory (float64 CPU) against silent numeric drift
