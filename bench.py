@@ -92,12 +92,14 @@ def measure(data_term: str, warm_batches: int = 1, batch: int = 5, min_sweeps: i
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+    # The flagship mode only — a regression in the cosine path must fail
+    # loudly, not masquerade as a throughput drop under another data term.
+    # Retries (same mode) absorb transient tunneled-runtime flakes.
+    mode = "cosine"
     value = None
-    for attempt, (mode, batch) in enumerate(
-        [("cosine", 5), ("chebyshev", 2), ("nearest", 2)]
-    ):
+    for attempt in range(3):
         try:
-            value = measure(mode, batch=batch)
+            value = measure(mode, batch=5)
             break
         except Exception:
             if attempt == 2:
@@ -111,6 +113,7 @@ def main():
                 "value": round(value, 3),
                 "unit": "Mpixel-sweeps/s/chip",
                 "vs_baseline": round(value / prev, 3) if prev else 1.0,
+                "mode": mode,
             }
         )
     )

@@ -57,8 +57,13 @@ def _chambolle(f: jnp.ndarray, theta: float, tau: float, iters: int) -> jnp.ndar
 
 
 def rof_structure(img, theta: float = 0.125, tau: float = 0.25, iters: int = 100):
-    """The structure (cartoon) component of ``img`` via ROF denoising."""
-    return np.asarray(_chambolle(jnp.asarray(img, jnp.float64), theta, tau, iters))
+    """The structure (cartoon) component of ``img`` via ROF denoising.
+
+    Precision follows the active JAX x64 setting (f32 is adequate for the
+    ~100 Chambolle iterations; requesting f64 explicitly would only warn
+    and silently downcast outside x64 mode).
+    """
+    return np.asarray(_chambolle(jnp.asarray(np.asarray(img, np.float64)), theta, tau, iters))
 
 
 def structure_texture(

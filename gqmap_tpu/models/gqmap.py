@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FlowRange, GQMAPConfig
-from ..ops.gq import EDGE, NODE, finalize, gq_accumulate, gq_accumulate_diff, gq_ei
+from ..ops.gq import EDGE, NODE, finalize, gq_accumulate, gq_accumulate_diff, gq_ei, gq_ei_diff
 from ..ops.interp import pad_cubic, upsample_cubic
 from ..ops.mixture import extract_map
 from ..ops.potentials import make_edge_pot, make_node_pot_bicubic, make_node_pot_nearest
@@ -319,7 +319,10 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
                 sg_ = jnp.stack([su_, sv_], axis=0)
                 u2e_ = jnp.stack([roll(mu_, -1, -2), roll(mu_, -1, -1)], axis=0)
                 o2e_ = jnp.stack([roll(sg_, -1, -2), roll(sg_, -1, -1)], axis=0)
-                ei_e = gq_ei(edge_f, mu_[None], u2e_, sg_[None], o2e_, rou_, tab)
+                if cfg.edge_quad == "reduced":
+                    ei_e = gq_ei_diff(edge_fd, mu_[None], u2e_, sg_[None], o2e_, rou_, tab1)
+                else:
+                    ei_e = gq_ei(edge_f, mu_[None], u2e_, sg_[None], o2e_, rou_, tab)
                 He = _E_CONST1 + jnp.log(jnp.sqrt(1.0 - rou_ * rou_) * sg_[None] * o2e_)
                 da_e = ei_e * _INV_PI + T * He
                 full = psum(jnp.sum(a3_ * da_n) + jnp.sum(a3_ * da_e))

@@ -46,6 +46,7 @@ __all__ = [
     "gq_accumulate",
     "gq_accumulate_diff",
     "gq_ei",
+    "gq_ei_diff",
     "finalize",
     "finalize_closed",
     "NODE",
@@ -318,6 +319,41 @@ def gq_ei(
 
     out, _ = jax.lax.scan(body, jnp.zeros(site_shape, dtype), tabj, unroll=unroll)
     return out
+
+
+def gq_ei_diff(
+    gd, u1, u2, o1, o2, p, tab: QuadTable1D, *, unroll: int = 1
+) -> jnp.ndarray:
+    """Ei via the 1-D difference-reduced rule: ``sqrt(pi) * sum_k w_k gd(d_k)``.
+
+    Companion of :func:`gq_accumulate_diff` for the autodiff gradient
+    estimator — the expectation of a pure difference potential
+    ``f(x1, x2) = gd(x1 - x2)`` only needs the 1-D marginal
+    ``d ~ N(u1 - u2, o1e^2 + o2e^2 - 2 p o1e o2e)``. Fully differentiable
+    w.r.t. all five parameters (``jax.grad`` flows through ``delta`` and the
+    variance), so ``edge_quad="reduced"`` composes with
+    ``gradient_estimator="autodiff"``.
+    """
+    dtype = u1.dtype
+    o1e = o1 * _SQRT2
+    o2e = o2 * _SQRT2
+    delta = u1 - u2
+    c = o1e * o1e + o2e * o2e - 2.0 * p * o1e * o2e
+    c = jnp.maximum(c, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    rc = jnp.sqrt(c)
+
+    site_shape = jnp.broadcast_shapes(u1.shape, u2.shape, o1.shape, o2.shape, p.shape)
+    tabj = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype).reshape((a.shape[0],) + cshape_tail(site_shape, a.shape[1])),
+        tab,
+    )
+
+    def body(carry, tc):
+        x, w = tc
+        return carry + jnp.sum(w * gd(delta + rc * x), 0), None
+
+    h0, _ = jax.lax.scan(body, jnp.zeros(site_shape, dtype), tabj, unroll=unroll)
+    return jnp.asarray(math.sqrt(math.pi), dtype) * h0
 
 
 def gq_expectation(

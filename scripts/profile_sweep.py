@@ -35,7 +35,9 @@ def main():
     from bench import load_problem_images
 
     I1, I2, fr = load_problem_images()
-    cfg = GQMAPConfig.tpu_fast(dtype="float32", edge_quad="tensor")
+    # explicit chebyshev: tpu_fast defaults to the closed-form cosine term,
+    # for which _node_f returns None (no per-sample potential callable)
+    cfg = GQMAPConfig.tpu_fast(dtype="float32", edge_quad="tensor", data_term="chebyshev")
     problem = make_problem(cfg, I1, I2, fr)
     state = init_state(cfg, fr, I1.shape)
     tab = build_table(cfg.K, cfg.quad_chunk, jnp.float32)

@@ -198,13 +198,16 @@ def test_legacy_v1_quadratic_family():
     assert abs(np.median(mu_u) - 1.25) < 0.15, np.median(mu_u)
 
 
-def test_autodiff_estimator_matches_stein():
+@pytest.mark.parametrize("edge_quad", ["tensor", "reduced"])
+def test_autodiff_estimator_matches_stein(edge_quad):
     # With POLYNOMIAL potentials (quadratic node prior, untruncated
     # quadratic edges) the K^2 quadrature is exact, so the Stein identities
     # and jax.grad of the quadrature expectation must agree to roundoff.
     # (On rough integrands — Charbonnier of a textured image — the two
     # estimator families differ by genuine quadrature error, exactly like
-    # the reference's gpuV2 vs gpuV3 lineages.)
+    # the reference's gpuV2 vs gpuV3 lineages.) The reduced 1-D edge rule
+    # is likewise exact on the quadratic edge, so the agreement must hold
+    # per edge_quad mode — covering gq_ei_diff on the autodiff path.
     import jax
 
     I1, I2, gt = shifted_pair(16, 20)
@@ -215,7 +218,7 @@ def test_autodiff_estimator_matches_stein():
     for est in ("stein", "autodiff"):
         cfg = GQMAPConfig.legacy_v1(
             K=7, L=2, dtype="float64", gradient_estimator=est,
-            dta=1e9, temperature=0.1, alpha_start=0,
+            dta=1e9, temperature=0.1, alpha_start=0, edge_quad=edge_quad,
         )
         problem = make_problem(cfg, I1, I2, fr)._replace(init_flow=jnp.asarray(init))
         st = init_state(cfg, fr, I1.shape)
