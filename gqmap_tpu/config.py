@@ -98,6 +98,11 @@ class GQMAPConfig:
     quad_chunk: int = 0           # quadrature points per scan step (0 = all K^2)
     dtype: str = "float32"        # state dtype ("float64" for the CPU golden model)
     seed: int = 0
+    debug_finite: bool = False    # assert every state leaf finite after each
+                                  # segment (the 1/(1-p^2) factors near the rho
+                                  # clamp are the known blow-up mode,
+                                  # gqmap_gpu_mixture.m:92-93); raises
+                                  # FloatingPointError naming the leaf
 
     @property
     def step_const(self) -> bool:

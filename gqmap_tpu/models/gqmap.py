@@ -180,17 +180,18 @@ def _interior_mask(M: int, N: int, border: int):
 
 
 def _node_f(cfg: GQMAPConfig, problem: Problem, origin=None, local_image_shape=None):
+    # The spectral terms (cosine/chebyshev) and the quadratic prior are
+    # strictly per-site over per-site constants (the coefficient field /
+    # init flow), so on the shard_map halo path they need NO origin handling:
+    # the local block of problem.cheb / problem.init_flow arrives pre-sliced
+    # by the lattice PartitionSpec (parallel/halo.py, parallel/sharded.py).
     if cfg.data_term == "cosine":
-        if origin is not None:
-            raise NotImplementedError("cosine data term + shard_map halo path")
         return None  # closed-form path: no per-sample potential callable
     if cfg.data_term == "quadratic":
         from ..ops.potentials import make_node_pot_quadratic
 
         return make_node_pot_quadratic(problem.init_flow, cfg.quad_var)
     if cfg.data_term == "chebyshev":
-        if origin is not None:
-            raise NotImplementedError("chebyshev data term + shard_map halo path")
         from ..ops.chebyshev import make_node_pot_chebyshev
 
         return make_node_pot_chebyshev(problem.cheb, cfg.cheb_ablock)
@@ -256,21 +257,24 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
 
     # Cosine node-term evaluator choice (trace-time, not runtime): the fused
     # Pallas kernel is ~2.9x the XLA mode-loop on v5e (PERFORMANCE.md) but is
-    # Mosaic/TPU-only and opaque to GSPMD, so "auto" enables it only for
-    # single-device TPU-backend runs outside the shard_map halo path.
+    # Mosaic/TPU-only and opaque to GSPMD's propagation, so "auto" enables it
+    # (a) on single-device TPU runs and (b) per-shard inside the shard_map
+    # halo path (`dist is not None`), where every array the kernel sees is
+    # already the local block — the standard Pallas-under-shard_map pattern.
+    # Multi-device GSPMD (dist None, >1 device) keeps the XLA mode loop.
     use_pallas = False
     if cfg.data_term == "cosine" and cfg.gradient_estimator != "autodiff":
         if cfg.node_kernel == "pallas":
             use_pallas = True
-        elif cfg.node_kernel == "auto" and dist is None:
+        elif cfg.node_kernel == "auto":
             try:
                 use_pallas = (
                     jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-                    and jax.device_count() == 1
+                    and (dist is not None or jax.device_count() == 1)
                 )
             except Exception:
                 use_pallas = False
-        elif cfg.node_kernel not in ("auto", "xla"):
+        elif cfg.node_kernel != "xla":
             raise ValueError(f"unknown node_kernel {cfg.node_kernel!r}")
 
     def sweep(problem: Problem, state: GQState) -> tuple[GQState, SweepAux]:
@@ -607,10 +611,11 @@ def solve(
         raise ValueError("need gt_flow or flow_range")
 
     problem = make_problem(cfg, I1, I2, flow_range)
+    resumed_extras = {}
     if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
         from ..utils.checkpoint import load_checkpoint
 
-        state, _, _ = load_checkpoint(checkpoint_path, expect_cfg=cfg)
+        state, _, resumed_extras = load_checkpoint(checkpoint_path, expect_cfg=cfg)
     elif init is not None:
         state = init
     else:
@@ -633,6 +638,20 @@ def solve(
     it_done = int(state.it) - 1  # >0 when resuming from a checkpoint
     last_map = None
 
+    # Resume restores the full run context — best-so-far AEPE and the
+    # Energy/AEPE/logP/|dmu| traces — so a resumed run returns the identical
+    # SolveResult an unbroken run would (the state alone under-reports
+    # best_aepe and loses the history).
+    if resumed_extras:
+        if "best_aepe" in resumed_extras:
+            best_aepe = float(resumed_extras["best_aepe"])
+        for name, arr in (("AEPE", AEPE), ("Energy", Energy),
+                          ("logP", logP), ("dmu", dmu_trace)):
+            if name in resumed_extras:
+                saved = np.asarray(resumed_extras[name])
+                n = min(saved.size, its)
+                arr[:n] = saved[:n]
+
     last_saved = it_done
 
     def _maybe_checkpoint(force=False):
@@ -642,8 +661,23 @@ def solve(
         if force or (checkpoint_every and it_done - last_saved >= checkpoint_every):
             from ..utils.checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_path, state, cfg, best_aepe=best_aepe)
+            save_checkpoint(
+                checkpoint_path, state, cfg, best_aepe=best_aepe,
+                AEPE=AEPE, Energy=Energy, logP=logP, dmu=dmu_trace,
+            )
             last_saved = it_done
+
+    def _assert_finite():
+        if not cfg.debug_finite:
+            return
+        for f in state._fields:
+            v = np.asarray(getattr(state, f))
+            if not np.isfinite(v).all():
+                raise FloatingPointError(
+                    f"non-finite state leaf {f!r} after sweep {it_done} "
+                    f"({np.size(v) - np.isfinite(v).sum()} bad values; "
+                    "likely the 1/(1-p^2) blow-up near the correlation clamp)"
+                )
 
     while it_done < its:
         next_eval = 1 if it_done == 0 else (it_done // cfg.eval_every + 1) * cfg.eval_every
@@ -655,6 +689,7 @@ def solve(
         dmu_trace[it_done : it_done + n] = np.asarray(pb)[:n]
         it_done += n
         stopped = bool(stop)
+        _assert_finite()
 
         if n == limit:  # reached the eval iteration
             last_map = np.asarray(map_fn(state))

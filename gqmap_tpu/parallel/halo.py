@@ -103,13 +103,22 @@ def make_halo_sweep(cfg: GQMAPConfig, image_shape, mesh: Mesh):
         rou=P(None, None, None, "x", "y"), temperature=P(), it=P(),
     )
     from ..config import FlowRange
+    from .sharded import _cheb_cls
 
+    # Per-site constants shard with the lattice: the spectral coefficient
+    # field (A, B, M, N) and the quadratic-prior init flow (M, N, 2) arrive
+    # inside the shard body as local blocks, so the spectral node terms need
+    # no halo at all (they are gather-free and local per pixel).
+    cheb_specs = None
+    cls = _cheb_cls(cfg.data_term)
+    if cls is not None:
+        cheb_specs = cls(P(None, None, "x", "y"), P(), P(), P(), P())
+    init_flow_specs = P("x", "y", None) if cfg.data_term == "quadratic" else None
     problem_specs = Problem(
         I1=P(), I2_tab=P(), interior=P("x", "y"),
         rng=FlowRange(P(), P(), P(), P()),
+        cheb=cheb_specs, init_flow=init_flow_specs,
     )
-    if cfg.data_term == "chebyshev":
-        raise NotImplementedError("chebyshev data term + halo path")
     from ..models.gqmap import SweepAux
 
     out_specs = (state_specs, SweepAux(P(), P(), P()))

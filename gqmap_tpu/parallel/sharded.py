@@ -31,27 +31,67 @@ __all__ = [
 ]
 
 
-def problem_sharding(mesh: Mesh, problem: Problem | None = None) -> Problem:
-    """Replicated shardings mirroring the problem's pytree structure."""
+def _cheb_cls(data_term: str):
+    if data_term == "chebyshev":
+        from ..ops.chebyshev import ChebData
+
+        return ChebData
+    if data_term == "cosine":
+        from ..ops.cosine import CosData
+
+        return CosData
+    return None
+
+
+def problem_sharding(mesh: Mesh, cfg: GQMAPConfig | None = None) -> Problem:
+    """Shardings mirroring the problem pytree for ``cfg.data_term``.
+
+    The frames stay replicated (bounded-range bicubic gathers may touch an
+    arbitrary window of frame 2), but the spectral coefficient field — the
+    dominant per-run constant, (A, B, M, N) ~ GBs at flagship scale — is
+    strictly per-site and block-shards with the lattice, as do the interior
+    mask and the quadratic-term init flow.
+    """
     rep = NamedSharding(mesh, P())
+    lat = NamedSharding(mesh, P("x", "y"))
     from ..config import FlowRange
 
     cheb = None
-    if problem is not None and problem.cheb is not None:
-        from ..ops.chebyshev import ChebData
-
-        cheb = ChebData(rep, rep, rep, rep, rep)
-    return Problem(I1=rep, I2_tab=rep, interior=rep,
-                   rng=FlowRange(rep, rep, rep, rep), cheb=cheb)
+    init_flow = None
+    if cfg is not None:
+        cls = _cheb_cls(cfg.data_term)
+        if cls is not None:
+            cheb = cls(NamedSharding(mesh, P(None, None, "x", "y")), rep, rep, rep, rep)
+        elif cfg.data_term == "quadratic":
+            init_flow = NamedSharding(mesh, P("x", "y", None))
+    return Problem(I1=rep, I2_tab=rep, interior=lat,
+                   rng=FlowRange(rep, rep, rep, rep), cheb=cheb,
+                   init_flow=init_flow)
 
 
 def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
+    """Place every per-run constant with its :func:`problem_sharding` layout
+    (coefficient field lattice-sharded, frames replicated)."""
     rep = NamedSharding(mesh, P())
+    cheb = problem.cheb
+    if cheb is not None:
+        cheb = type(cheb)(
+            coeffs=jax.device_put(cheb.coeffs, NamedSharding(mesh, P(None, None, "x", "y"))),
+            lo_u=jax.device_put(cheb.lo_u, rep),
+            hi_u=jax.device_put(cheb.hi_u, rep),
+            lo_v=jax.device_put(cheb.lo_v, rep),
+            hi_v=jax.device_put(cheb.hi_v, rep),
+        )
+    init_flow = problem.init_flow
+    if init_flow is not None:
+        init_flow = jax.device_put(init_flow, NamedSharding(mesh, P("x", "y", None)))
     return Problem(
         I1=jax.device_put(problem.I1, rep),
         I2_tab=jax.device_put(problem.I2_tab, rep),
-        interior=jax.device_put(problem.interior, rep),
+        interior=jax.device_put(problem.interior, NamedSharding(mesh, P("x", "y"))),
         rng=problem.rng,
+        cheb=cheb,
+        init_flow=init_flow,
     )
 
 
@@ -64,7 +104,7 @@ def make_sharded_sweep(cfg: GQMAPConfig, image_shape, mesh: Mesh):
     """jit-compiled sweep with the lattice block-sharded over (x, y)."""
     sweep = make_sweep(cfg, image_shape)
     sh = state_sharding(mesh, batched=False)
-    return jax.jit(sweep, in_shardings=(problem_sharding(mesh), sh))
+    return jax.jit(sweep, in_shardings=(problem_sharding(mesh, cfg), sh))
 
 
 def make_batched_sharded_sweep(cfg: GQMAPConfig, image_shape, mesh: Mesh):
@@ -76,7 +116,7 @@ def make_batched_sharded_sweep(cfg: GQMAPConfig, image_shape, mesh: Mesh):
     sweep = make_sweep(cfg, image_shape)
     vsweep = jax.vmap(sweep, in_axes=(None, 0))
     sh = state_sharding(mesh, batched=True)
-    return jax.jit(vsweep, in_shardings=(problem_sharding(mesh), sh))
+    return jax.jit(vsweep, in_shardings=(problem_sharding(mesh, cfg), sh))
 
 
 def stack_states(states: list[GQState]) -> GQState:

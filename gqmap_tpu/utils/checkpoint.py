@@ -38,12 +38,22 @@ def save_checkpoint(path, state: GQState, cfg: GQMAPConfig | None = None, **extr
 
 
 def load_checkpoint(path, expect_cfg: GQMAPConfig | None = None):
-    """Load ``(state, cfg_or_None, extras)``; verifies config match if given."""
+    """Load ``(state, cfg_or_None, extras)``; verifies config match if given.
+
+    The ``its`` field is excluded from the match: resuming under a longer
+    (or shorter) sweep budget is the standard extend-the-run usage and
+    changes no per-sweep semantics (the step schedule depends on
+    ``step_tau``, not ``its``).
+    """
     with np.load(os.fspath(path)) as z:
         cfg = None
         if "__config__" in z:
             cfg = GQMAPConfig(**json.loads(bytes(z["__config__"]).decode()))
-        if expect_cfg is not None and cfg is not None and cfg != expect_cfg:
+        if (
+            expect_cfg is not None
+            and cfg is not None
+            and dataclasses.replace(cfg, its=expect_cfg.its) != expect_cfg
+        ):
             raise ValueError("checkpoint config does not match the requested run")
         state = GQState(**{f: jnp.asarray(z[f]) for f in GQState._fields})
         extras = {k[6:]: z[k] for k in z.files if k.startswith("extra_")}

@@ -85,6 +85,68 @@ def test_batched_dp_sharded():
     )
 
 
+@pytest.mark.parametrize("data_term", ["cosine", "chebyshev"])
+def test_sharded_spectral_terms_equal_single(data_term):
+    # the flagship fast path (spectral data terms) under GSPMD: the
+    # coefficient field is lattice-sharded (P(None, None, x, y)) rather than
+    # replicated, and the sweep must still match the single-device result
+    cfg = GQMAPConfig.tpu_fast(
+        K=5, L=2, dtype="float64", data_term=data_term,
+        cheb_p=24, cheb_q=12, quad_chunk=0,
+    )
+    r = np.random.default_rng(0)
+    I1 = gaussian_filter(r.uniform(0, 255, (16, 16)), 1.5)
+    I2 = np.roll(I1, 1, axis=1)
+    fr = FlowRange(-2, 2, -2, 2)
+    problem = make_problem(cfg, I1, I2, fr)
+    state = init_state(cfg, fr, I1.shape)
+
+    ref_sweep = jax.jit(make_sweep(cfg, (16, 16)))
+    s_ref, a_ref = run_n(ref_sweep, problem, state, 3)
+
+    from gqmap_tpu.parallel.sharded import shard_problem
+
+    mesh = make_mesh(8, dp=1)
+    sh_sweep = make_sharded_sweep(cfg, (16, 16), mesh)
+    sp = shard_problem(problem, mesh)
+    # the coefficient field really is lattice-sharded, not replicated
+    cspec = sp.cheb.coeffs.sharding.spec
+    assert tuple(cspec) == (None, None, "x", "y"), cspec
+    s_sh, a_sh = run_n(sh_sweep, sp, shard_state(state, mesh), 3)
+
+    for name in state._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_sh, name)), np.asarray(getattr(s_ref, name)),
+            rtol=1e-9, atol=1e-12, err_msg=name,
+        )
+    np.testing.assert_allclose(float(a_sh.energy), float(a_ref.energy), rtol=1e-9)
+
+
+def test_sharded_quadratic_init_flow():
+    # legacy_v1 under GSPMD: shard_problem must carry (and shard) init_flow
+    import jax.numpy as jnp
+    from gqmap_tpu.parallel.sharded import shard_problem
+
+    cfg = GQMAPConfig.legacy_v1(K=5, L=1, dtype="float64")
+    r = np.random.default_rng(0)
+    I1 = gaussian_filter(r.uniform(0, 255, (16, 16)), 1.5)
+    I2 = np.roll(I1, 1, axis=1)
+    fr = FlowRange(-2, 2, -2, 2)
+    init = np.zeros((16, 16, 2))
+    init[..., 0] = 1.0
+    problem = make_problem(cfg, I1, I2, fr)._replace(init_flow=jnp.asarray(init))
+    state = init_state(cfg, fr, I1.shape)
+
+    ref_sweep = jax.jit(make_sweep(cfg, (16, 16)))
+    s_ref, _ = run_n(ref_sweep, problem, state, 2)
+    mesh = make_mesh(8, dp=1)
+    sh_sweep = make_sharded_sweep(cfg, (16, 16), mesh)
+    s_sh, _ = run_n(sh_sweep, shard_problem(problem, mesh), shard_state(state, mesh), 2)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.muu), np.asarray(s_ref.muu), rtol=1e-9, atol=1e-12
+    )
+
+
 def test_mesh_for_awkward_shapes():
     # lattice dims that don't divide 8 devices: the shape-aware mesh picks
     # the largest dividing factor pair and stays exact

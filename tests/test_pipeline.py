@@ -97,6 +97,46 @@ def test_solve_resume_exact(tmp_path):
     np.testing.assert_allclose(resumed.sigma, full.sigma, rtol=1e-12, atol=1e-12)
 
 
+def test_solve_resume_full_fidelity(tmp_path):
+    # resume=True restores the FULL run context (best_aepe + the
+    # AEPE/Energy/logP traces), so a run interrupted after 20 sweeps and
+    # resumed to 40 returns the identical SolveResult as an unbroken 40-sweep
+    # run — including the history from before the interruption
+    I1, I2, gt = shifted_pair(20, 24)
+    fr = FlowRange(-2, 2, -2, 2)
+    cfg40 = GQMAPConfig.full_mixture(K=3, L=1, its=40, eval_every=20, dtype="float64")
+    full = solve(cfg40, I1, I2, gt_flow=gt, flow_range=fr)
+
+    cfg20 = GQMAPConfig.full_mixture(K=3, L=1, its=20, eval_every=20, dtype="float64")
+    ck = tmp_path / "ck.npz"
+    solve(cfg20, I1, I2, gt_flow=gt, flow_range=fr, checkpoint_path=ck)
+    resumed = solve(cfg40, I1, I2, gt_flow=gt, flow_range=fr,
+                    checkpoint_path=ck, resume=True)
+    np.testing.assert_allclose(resumed.mu, full.mu, rtol=1e-12, atol=1e-12)
+    assert resumed.best_aepe == full.best_aepe
+    np.testing.assert_allclose(resumed.AEPE, full.AEPE, rtol=1e-12)
+    np.testing.assert_allclose(resumed.Energy, full.Energy, rtol=1e-12)
+    np.testing.assert_allclose(resumed.logP, full.logP, rtol=1e-12)
+
+
+def test_debug_finite_raises_on_nan():
+    from gqmap_tpu.models.gqmap import init_state
+    import jax.numpy as jnp
+
+    I1, I2, gt = shifted_pair(16, 16)
+    fr = FlowRange(-2, 2, -2, 2)
+    cfg = GQMAPConfig.full_mixture(
+        K=3, L=1, its=4, eval_every=4, dtype="float64", debug_finite=True,
+    )
+    st = init_state(cfg, fr, I1.shape)
+    bad = st._replace(muu=st.muu.at[0, 3, 3].set(jnp.nan))
+    with pytest.raises(FloatingPointError, match="muu"):
+        solve(cfg, I1, I2, gt_flow=gt, flow_range=fr, init=bad)
+    # and the healthy run passes with the check enabled
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=fr)
+    assert np.isfinite(res.Energy[:4]).all()
+
+
 def test_metrics_logger(tmp_path):
     from gqmap_tpu.evals.metrics import MetricsLogger
 
