@@ -28,6 +28,9 @@ PRESETS = {
     "tpu_fast": GQMAPConfig.tpu_fast,
     "tpu_fast_super": GQMAPConfig.tpu_fast_super,
     "legacy_v1": GQMAPConfig.legacy_v1,
+    "legacy_v2": GQMAPConfig.legacy_v2,
+    "legacy_v3": GQMAPConfig.legacy_v3,
+    "blockmatch_v2": GQMAPConfig.blockmatch_v2,
     "ctf_level": GQMAPConfig.ctf_level,
 }
 
@@ -36,7 +39,7 @@ def _cfg_from_args(args) -> GQMAPConfig:
     cfg = PRESETS[args.preset]()
     over = {}
     for field in ("K", "L", "its", "lambdas", "lambdad", "temperature", "eval_every",
-                  "quad_chunk", "dtype", "seed", "data_term"):
+                  "quad_chunk", "dtype", "seed", "data_term", "window_rg"):
         v = getattr(args, field.lower(), None)
         if v is not None:
             over[field] = v
@@ -56,6 +59,8 @@ def _add_common(p):
     p.add_argument("--dtype", default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data-term", dest="data_term", default=None)
+    p.add_argument("--window-rg", dest="window_rg", type=int, default=None,
+                   help="overlapping data-cost window half-size (legacy/gqmap_cpuV2.m)")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--preprocessed", action="store_true")
     p.add_argument("--st-preprocess", action="store_true",
@@ -89,11 +94,21 @@ def cmd_run(args):
         ml = MetricsLogger(f"{args.out}/metrics.jsonl",
                            run_meta=dict(seq=args.seq, cfg=dataclasses.asdict(cfg)))
         cb = ml.solver_callback(seq.img1.size)
+    init_flow = None
+    if args.init == "blockmatch":
+        # the legacy/optical_flow_temp.m experiment: cost-volume block
+        # matching -> integer flow init -> solver -> .flo export (via --out)
+        from ..models.blockmatch import block_matching_init
+
+        w = int(6 * args.scale) + 1 if args.bm_window is None else args.bm_window
+        init_flow = block_matching_init(seq.img1, seq.img2, U=w, V=w)
+        if cfg.patch > 1:
+            init_flow = init_flow[:: cfg.patch, :: cfg.patch]
     res = solve(
         cfg, seq.img1, seq.img2, gt_flow=seq.gt_flow,
         out_dir=args.out, verbose=not args.quiet, callback=cb,
         checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
-        resume=args.resume,
+        resume=args.resume, init_flow=init_flow, reset_at=args.reset_at,
     )
     print(json.dumps({"seq": args.seq, "best_aepe": res.best_aepe, "iters": res.iters}))
     if args.out:
@@ -157,7 +172,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="gqmap", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("run");   _add_common(p); p.add_argument("--seq", required=True); p.set_defaults(fn=cmd_run)
+    p = sub.add_parser("run");   _add_common(p); p.add_argument("--seq", required=True)
+    p.add_argument("--init", choices=["random", "blockmatch"], default="random",
+                   help="mean init: random (reference default) or block-matching "
+                        "cost volume (legacy/optical_flow_temp.m)")
+    p.add_argument("--bm-window", dest="bm_window", type=int, default=None,
+                   help="block-matching search half-window (default floor(6*scale)+1)")
+    p.add_argument("--reset-at", dest="reset_at", type=int, default=None,
+                   help="apply the reset_para hook after N sweeps (legacy/gqmap_gpuV2.m:54-62)")
+    p.set_defaults(fn=cmd_run)
     p = sub.add_parser("suite"); _add_common(p); p.add_argument("--seqs", required=True); p.set_defaults(fn=cmd_suite)
     p = sub.add_parser("ctf");   _add_common(p); p.add_argument("--seq", required=True); p.set_defaults(fn=cmd_ctf)
     p = sub.add_parser("sweep"); _add_common(p); p.add_argument("--seq", required=True)

@@ -52,6 +52,15 @@ class GQMAPConfig:
                                   # kernels/cosine_gq.py — measured 2.9x the
                                   # XLA path on v5e), "auto" (pallas on a
                                   # single-device TPU backend, else xla)
+    window_rg: int = 0            # overlapping data-cost window half-size: the
+                                  # node potential is the MEAN Charbonnier cost
+                                  # over the (2rg+1)^2 pixel window, displacement
+                                  # shared across the window (legacy/
+                                  # gqmap_cpuV2.m:29-33, gqmap_cpuV3.m:30-32);
+                                  # composes with bicubic/nearest directly and
+                                  # with the spectral terms via a box-filtered
+                                  # coefficient surface. Mutually exclusive
+                                  # with patch > 1.
     quad_var: float = 1.0         # variance of the quadratic node prior (legacy v1)
     edge_kind: str = "charbonnier"  # or "truncquad" (legacy/gqmap_cpu.m:43)
     edge_quad: str = "tensor"     # "tensor": K^2-point 2-D rule (reference
@@ -82,11 +91,16 @@ class GQMAPConfig:
     tor: float = 1e-4             # convergence threshold on mean |dmu|
 
     # --- gradient estimator ---
-    gradient_estimator: str = "stein"  # reference Stein identities, or
+    gradient_estimator: str = "stein"  # reference Stein identities;
                                        # "autodiff" (jax.grad of the quadrature
                                        # expectation; the TPU-native heir of the
                                        # legacy/gqmap_gpuV3.m analytic-derivative
-                                       # estimator family)
+                                       # estimator family); or "prewitt" (the
+                                       # literal gpuV3 family: quadrature of the
+                                       # chain-rule df/dx using precomputed
+                                       # Prewitt image-gradient fields,
+                                       # legacy/gqmap_gpuV3.m:17-22,91-125 —
+                                       # requires data_term="nearest")
 
     # --- mixture weights ---
     alpha_update: str = "softmax_natural"  # or "projsplx" (gqmap_gpu_mixture.m:49-50)
@@ -170,6 +184,39 @@ class GQMAPConfig:
             K=9, its=2000, L=1, data_term="quadratic", edge_kind="truncquad",
             quad_var=1.0, gama=1.0, dta=10.0,
             step0=0.1, step_tau=1000.0, corr_tor=0.97, sigma_max=25.0,
+        ), **kw})
+
+    @classmethod
+    def legacy_v2(cls, **kw) -> "GQMAPConfig":
+        """Windowed-data-cost family (``legacy/gqmap_cpuV2.m``): each pixel's
+        data term is the mean Charbonnier cost over an overlapping rg=2
+        window (displacement shared across the window), nearest lookup into
+        the 2^6-x upsampled frame 2 (``:10-11,29-33``); L=1, border ring =
+        rg (updates run ``rg+1:M-rg``, ``:22-23``)."""
+        return cls.single_gaussian(**{**dict(
+            data_term="nearest", rfc=6, window_rg=2, border=2,
+            epsn=1e-4, tor=1e-3,
+        ), **kw})
+
+    @classmethod
+    def legacy_v3(cls, **kw) -> "GQMAPConfig":
+        """Image-gradient (Prewitt) estimator family (``legacy/gqmap_gpuV3.m``):
+        node gradients by quadrature of the analytic chain-rule df/dx against
+        precomputed Prewitt gradient fields of frame 2, nearest lookup at
+        rfc=4 (``:15-23``); L=1, tor=1e-2 (``:26``)."""
+        return cls.single_gaussian(**{**dict(
+            data_term="nearest", rfc=4, gradient_estimator="prewitt",
+            epsn=1e-4, tor=1e-2,
+        ), **kw})
+
+    @classmethod
+    def blockmatch_v2(cls, **kw) -> "GQMAPConfig":
+        """The block-matching-init experiment driver's solver settings
+        (``legacy/optical_flow_temp.m:33-39``): gqmap_gpuV2 with K=17,
+        its=5000, sg=1e-4, lambda_s=1.7, lambda_d=0.3."""
+        return cls.single_gaussian(**{**dict(
+            K=17, its=5000, epsn=1e-4, lambdas=1.7, lambdad=0.3,
+            data_term="nearest", rfc=6,
         ), **kw})
 
     @classmethod

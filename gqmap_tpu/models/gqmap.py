@@ -86,6 +86,8 @@ class Problem(NamedTuple):
     rng: FlowRange
     cheb: object = None   # ChebData for data_term="chebyshev"
     init_flow: object = None  # (M, N, 2) prior flow for data_term="quadratic"
+    grad_tabs: object = None  # (I2u_tab, I2v_tab) upsampled Prewitt gradient
+                              # fields for gradient_estimator="prewitt"
 
 
 class SweepAux(NamedTuple):
@@ -111,6 +113,10 @@ def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) 
     dt = _dt(cfg)
     I1 = jnp.asarray(I1, dt)
     I2 = jnp.asarray(I2, dt)
+    if cfg.window_rg > 0 and cfg.patch > 1:
+        raise ValueError("window_rg and patch > 1 are mutually exclusive")
+    if cfg.gradient_estimator == "prewitt" and cfg.data_term != "nearest":
+        raise ValueError("gradient_estimator='prewitt' requires data_term='nearest'")
     cheb = None
     if cfg.data_term == "bicubic":
         tab = pad_cubic(I2)
@@ -128,7 +134,8 @@ def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) 
         box = (flow_range.minu - m, flow_range.maxu + m,
                flow_range.minv - m, flow_range.maxv + m)
         cheb = build_cheb_data(I1, tab, cfg.lambdad, cfg.epsn, box,
-                               P=cfg.cheb_p, Q=cfg.cheb_q, patch=cfg.patch)
+                               P=cfg.cheb_p, Q=cfg.cheb_q, patch=cfg.patch,
+                               window_rg=cfg.window_rg)
     elif cfg.data_term == "cosine":
         tab = pad_cubic(I2)
         if flow_range is None:
@@ -139,12 +146,20 @@ def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) 
         box = (flow_range.minu - m, flow_range.maxu + m,
                flow_range.minv - m, flow_range.maxv + m)
         cheb = build_cos_data(I1, tab, cfg.lambdad, cfg.epsn, box,
-                              A=cfg.cheb_p, B=cfg.cheb_q, patch=cfg.patch)
+                              A=cfg.cheb_p, B=cfg.cheb_q, patch=cfg.patch,
+                              window_rg=cfg.window_rg)
     else:
         raise ValueError(f"unknown data_term {cfg.data_term!r}")
+    grad_tabs = None
+    if cfg.gradient_estimator == "prewitt":
+        from ..ops.interp import prewitt_gradients
+
+        Gx, Gy = prewitt_gradients(I2)
+        grad_tabs = (upsample_cubic(Gx, cfg.rfc), upsample_cubic(Gy, cfg.rfc))
     M, N = flow_lattice_shape(cfg, I1.shape)
     interior = jnp.asarray(_interior_mask(M, N, cfg.border))
-    return Problem(I1=I1, I2_tab=tab, interior=interior, rng=flow_range, cheb=cheb)
+    return Problem(I1=I1, I2_tab=tab, interior=interior, rng=flow_range, cheb=cheb,
+                   grad_tabs=grad_tabs)
 
 
 def init_state(cfg: GQMAPConfig, rng: FlowRange, image_shape, seed=None) -> GQState:
@@ -195,6 +210,14 @@ def _node_f(cfg: GQMAPConfig, problem: Problem, origin=None, local_image_shape=N
         from ..ops.chebyshev import make_node_pot_chebyshev
 
         return make_node_pot_chebyshev(problem.cheb, cfg.cheb_ablock)
+    if cfg.window_rg > 0:
+        from ..ops.potentials import make_node_pot_windowed
+
+        return make_node_pot_windowed(
+            problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn,
+            cfg.window_rg, cfg.data_term, cfg.rfc,
+            origin=origin, local_image_shape=local_image_shape,
+        )
     if cfg.data_term == "bicubic":
         return make_node_pot_bicubic(
             problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, patch=cfg.patch,
@@ -251,6 +274,8 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
         raise ValueError(f"unknown edge_quad {cfg.edge_quad!r}")
     n_interior = (M - 2 * b) * (N - 2 * b) * L
     softmax_mode = cfg.alpha_update == "softmax_natural"
+    if cfg.gradient_estimator not in ("stein", "autodiff", "prewitt"):
+        raise ValueError(f"unknown gradient_estimator {cfg.gradient_estimator!r}")
 
     roll = dist.roll if dist is not None else jnp.roll
     psum = dist.psum if dist is not None else (lambda x: x)
@@ -346,7 +371,31 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
             dmuu, dmuv, dsigmau, dsigmav, dpn_g, drou_g = grads
         else:
             # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
-            if cfg.data_term == "cosine":
+            if cfg.gradient_estimator == "prewitt":
+                # the gpuV3 estimator family: quadrature of the chain-rule
+                # df/dx against precomputed Prewitt gradient fields
+                # (legacy/gqmap_gpuV3.m:91-125)
+                from ..ops.gq import finalize_chain, gq_accumulate_chain
+                from ..ops.potentials import make_node_pot_nearest_chain
+
+                if dist is None:
+                    chain_kw = {}
+                else:
+                    ml, nl = dist.local_lattice
+                    r0, c0 = dist.origin()
+                    chain_kw = dict(origin=(r0, c0), local_image_shape=(ml, nl))
+                fgn = make_node_pot_nearest_chain(
+                    problem.I1, problem.I2_tab, problem.grad_tabs[0],
+                    problem.grad_tabs[1], cfg.lambdad, cfg.epsn, cfg.rfc,
+                    **chain_kw,
+                )
+                raw_c = gq_accumulate_chain(
+                    fgn, state.muu, state.muv, state.sigmau, state.sigmav,
+                    state.pn, tab,
+                )
+                gn = finalize_chain(raw_c, a3, state.sigmau, state.sigmav,
+                                    state.pn, T, NODE)
+            elif cfg.data_term == "cosine":
                 if use_pallas:
                     from ..kernels.cosine_gq import cos_node_grads_pallas
 
@@ -578,10 +627,12 @@ def solve(
     verbose: bool = False,
     callback=None,
     init: GQState | None = None,
+    init_flow=None,
     checkpoint_path=None,
     checkpoint_every: int = 0,
     resume: bool = False,
     mesh=None,
+    reset_at: int | None = None,
 ) -> SolveResult:
     """Run the full GQMAP inference loop (entry points A/B of SURVEY.md §3).
 
@@ -596,6 +647,15 @@ def solve(
     every ``checkpoint_every`` iterations (0 = only at the end); with
     ``resume=True`` an existing checkpoint restarts the run mid-schedule
     (exact state, iteration counter and annealed temperature).
+
+    ``init_flow`` (an (M, N, 2) array, e.g. from the block-matching
+    initializer) seeds the means of every mixture component while keeping
+    the random sigma init (``legacy/optical_flow_temp.m:33`` +
+    ``legacy/gqmap_gpuV2.m:13-14``'s xini hook). ``reset_at`` applies the
+    reference's ``reset_para`` divergence-recovery hook after that many
+    sweeps: sigma re-widened to half the flow range, correlations zeroed,
+    the iteration counter (hence the step/eval schedule) restarted, means
+    kept (``legacy/gqmap_gpuV2.m:51-62``).
     """
     import os
 
@@ -620,6 +680,23 @@ def solve(
         state = init
     else:
         state = init_state(cfg, flow_range, np.shape(I1), seed)
+        if init_flow is not None:
+            fl = jnp.asarray(init_flow, _dt(cfg))
+            if fl.shape[:2] != state.muu.shape[1:]:
+                raise ValueError(
+                    f"init_flow shape {fl.shape} does not match the flow "
+                    f"lattice {state.muu.shape[1:]}"
+                )
+            state = state._replace(
+                muu=jnp.broadcast_to(
+                    jnp.clip(fl[..., 0], flow_range.minu, flow_range.maxu)[None],
+                    state.muu.shape,
+                ),
+                muv=jnp.broadcast_to(
+                    jnp.clip(fl[..., 1], flow_range.minv, flow_range.maxv)[None],
+                    state.muv.shape,
+                ),
+            )
     if mesh is not None:
         from ..parallel.sharded import shard_problem, shard_state
 
@@ -679,9 +756,13 @@ def solve(
                     "likely the 1/(1-p^2) blow-up near the correlation clamp)"
                 )
 
+    pending_reset = reset_at if reset_at else None
+
     while it_done < its:
         next_eval = 1 if it_done == 0 else (it_done // cfg.eval_every + 1) * cfg.eval_every
         next_eval = min(next_eval, its)
+        if pending_reset is not None:
+            next_eval = min(next_eval, pending_reset)
         limit = next_eval - it_done
         state, n, eb, pb, sb, stop = seg(problem, state, limit)
         n = int(n)
@@ -708,6 +789,22 @@ def solve(
                 )
             if callback is not None:
                 callback(it_done, state, last_map, AEPE[it_done - 1], lp)
+        if pending_reset is not None and it_done >= pending_reset:
+            # reset_para (legacy/gqmap_gpuV2.m:54-62): re-widen sigma, zero
+            # the correlations, restart the schedule; keep mu and best_aepe.
+            state = state._replace(
+                sigmau=jnp.full_like(state.sigmau, (flow_range.maxu - flow_range.minu) / 2.0),
+                sigmav=jnp.full_like(state.sigmav, (flow_range.maxv - flow_range.minv) / 2.0),
+                pn=jnp.zeros_like(state.pn),
+                rou=jnp.zeros_like(state.rou),
+                it=jnp.asarray(1, jnp.int32),
+            )
+            it_done = 0
+            last_saved = 0
+            pending_reset = None
+            if verbose:
+                print("[reset_para] sigma, pn and rou have been reset")
+            continue
         _maybe_checkpoint()
         if stopped or it_done >= its:
             break

@@ -68,13 +68,16 @@ def build_cheb_data(
     P: int = 64,
     Q: int = 64,
     patch: int = 1,
+    window_rg: int = 0,
 ) -> ChebData:
     """Precompute the per-pixel coefficient field (one-time, per run).
 
     ``box = (lo_u, hi_u, lo_v, hi_v)`` in pixels. For ``patch > 1`` the
     expansion is of the PATCH-SUMMED node potential on the flow lattice
     (``gqmap_gpuSuper_mix_entropy.m:94-105``), so the sweep-time cost is
-    independent of the patch size.
+    independent of the patch size; for ``window_rg > 0`` of the
+    window-MEANED potential (``legacy/gqmap_cpuV2.m:29-33`` — a box filter
+    of the sampled surface, likewise free at sweep time).
     """
     Mo, No = I1.shape
     M, N = Mo // patch, No // patch
@@ -95,6 +98,10 @@ def build_cheb_data(
         # constant displacement: a uniformly shifted (clamped) field sample
         Vq = sample_bicubic(VV, jj + u, ii + v)
         npt = -lam * jnp.sqrt(eps + (I1 - Vq) ** 2)
+        if window_rg > 0:
+            from .cosine import _box_mean
+
+            npt = _box_mean(npt, window_rg)
         if patch > 1:
             npt = npt.reshape(M, patch, N, patch).sum(axis=(1, 3))
         return npt

@@ -69,6 +69,23 @@ def _dct2_matrix(P: int) -> np.ndarray:
     return D
 
 
+def _box_mean(npt: jnp.ndarray, rg: int) -> jnp.ndarray:
+    """Overlapping-window mean of a per-pixel cost field (edge-padded).
+
+    Because the spectral builds sample at GLOBAL constant displacements,
+    the windowed data cost of ``legacy/gqmap_cpuV2.m:29-33`` (mean over the
+    (2rg+1)^2 window, displacement shared across it) is exactly a box
+    filter of the sampled surface — the window costs nothing at sweep time.
+    """
+    k = 2 * rg + 1
+    p = jnp.pad(npt, rg, mode="edge")
+    acc = jnp.zeros_like(npt)
+    for di in range(k):
+        for dj in range(k):
+            acc = acc + jax.lax.slice(p, (di, dj), (di + npt.shape[0], dj + npt.shape[1]))
+    return acc / (k * k)
+
+
 def build_cos_data(
     I1: jnp.ndarray,
     VV: jnp.ndarray,
@@ -78,6 +95,7 @@ def build_cos_data(
     A: int = 96,
     B: int = 16,
     patch: int = 1,
+    window_rg: int = 0,
 ) -> CosData:
     """Precompute the per-pixel cosine coefficient field (one-time, per run).
 
@@ -86,7 +104,8 @@ def build_cos_data(
     frame 2, a dense field op with no gathers (same trick as the chebyshev
     build) — then takes a type-II DCT along both displacement axes.
     For ``patch > 1`` the expansion is of the patch-summed potential on the
-    flow lattice (``gqmap_gpuSuper_mix_entropy.m:94-105``).
+    flow lattice (``gqmap_gpuSuper_mix_entropy.m:94-105``); for
+    ``window_rg > 0`` of the window-MEANED potential (:func:`_box_mean`).
     """
     Mo, No = I1.shape
     M, N = Mo // patch, No // patch
@@ -105,6 +124,8 @@ def build_cos_data(
         u, v = uv
         Vq = sample_bicubic(VV, jj + u, ii + v)
         npt = -lam * jnp.sqrt(eps + (I1 - Vq) ** 2)
+        if window_rg > 0:
+            npt = _box_mean(npt, window_rg)
         if patch > 1:
             npt = npt.reshape(M, patch, N, patch).sum(axis=(1, 3))
         return npt

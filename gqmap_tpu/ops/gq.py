@@ -43,11 +43,14 @@ from .quadrature import QuadTable, QuadTable1D
 __all__ = [
     "GQRaw",
     "GQGrads",
+    "GQChainRaw",
     "gq_accumulate",
+    "gq_accumulate_chain",
     "gq_accumulate_diff",
     "gq_ei",
     "gq_ei_diff",
     "finalize",
+    "finalize_chain",
     "finalize_closed",
     "NODE",
     "EDGE",
@@ -319,6 +322,109 @@ def gq_ei(
 
     out, _ = jax.lax.scan(body, jnp.zeros(site_shape, dtype), tabj, unroll=unroll)
     return out
+
+
+class GQChainRaw(NamedTuple):
+    """Raw sums for the chain-rule (image-gradient) estimator."""
+
+    Ei: jnp.ndarray   # sum w * f
+    A1: jnp.ndarray   # sum w * df/dx1
+    A2: jnp.ndarray   # sum w * df/dx2
+    Ci: jnp.ndarray   # sum w * df/dx1 * XI
+    Cj: jnp.ndarray   # sum w * df/dx1 * XJ
+    Di: jnp.ndarray   # sum w * df/dx2 * XI
+    Dj: jnp.ndarray   # sum w * df/dx2 * XJ
+
+
+def gq_accumulate_chain(
+    fg: Callable,
+    u1, u2, o1, o2, p,
+    tab: QuadTable,
+    *,
+    unroll: int = 1,
+) -> GQChainRaw:
+    """Accumulate the chain-rule estimator sums over every site.
+
+    ``fg(x1, x2) -> (f, df/dx1, df/dx2)`` supplies the potential value AND
+    its analytic spatial derivatives (e.g. from precomputed image-gradient
+    fields). This is the alternative gradient-estimator family of
+    ``legacy/gqmap_gpuV3.m:91-125``: parameter gradients by quadrature of
+    ``df/dx`` (different quadrature-noise characteristics than the Stein
+    identities — the derivative of the integrand is sampled, not the
+    integrand times a polynomial).
+    """
+    dtype = u1.dtype
+    s = (jnp.sqrt(1.0 + p) + jnp.sqrt(1.0 - p)) * 0.5
+    t = (jnp.sqrt(1.0 + p) - jnp.sqrt(1.0 - p)) * 0.5
+    o1e = o1 * _SQRT2
+    o2e = o2 * _SQRT2
+
+    site_shape = jnp.broadcast_shapes(u1.shape, u2.shape, o1.shape, o2.shape, p.shape)
+    zeros = jnp.zeros(site_shape, dtype)
+    init = GQChainRaw(zeros, zeros, zeros, zeros, zeros, zeros, zeros)
+    tabj = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype).reshape((a.shape[0],) + cshape_tail(site_shape, a.shape[1])),
+        tab,
+    )
+
+    def body(carry: GQChainRaw, tc) -> tuple[GQChainRaw, None]:
+        xi, xj, wiwj, *_ = tc
+        zi = s * xi + t * xj
+        zj = t * xi + s * xj
+        f, g1, g2 = fg(o1e * zi + u1, o2e * zj + u2)
+        w1 = wiwj * g1
+        w2 = wiwj * g2
+        new = GQChainRaw(
+            Ei=carry.Ei + jnp.sum(wiwj * f, 0),
+            A1=carry.A1 + jnp.sum(w1, 0),
+            A2=carry.A2 + jnp.sum(w2, 0),
+            Ci=carry.Ci + jnp.sum(w1 * xi, 0),
+            Cj=carry.Cj + jnp.sum(w1 * xj, 0),
+            Di=carry.Di + jnp.sum(w2 * xi, 0),
+            Dj=carry.Dj + jnp.sum(w2 * xj, 0),
+        )
+        return new, None
+
+    raw, _ = jax.lax.scan(body, init, tabj, unroll=unroll)
+    return raw
+
+
+def finalize_chain(
+    raw: GQChainRaw,
+    a, o1, o2, p, T,
+    entropy_scale: float,
+) -> GQGrads:
+    """Chain-rule sums -> finalized gradients.
+
+    With ``x1 = sqrt2 o1 (s XI + t XJ) + u1`` (and symmetrically x2),
+
+        dE/du1 = E[df/dx1]
+        dE/do1 = sqrt2 E[df/dx1 (s XI + t XJ)]
+        dE/dp  = sqrt2 ( o1 E[df/dx1 (ds XI + dt XJ)]
+                       + o2 E[df/dx2 (dt XI + ds XJ)] ),
+        ds = (1/sqrt(1+p) - 1/sqrt(1-p))/4,   dt = (1/sqrt(1+p) + 1/sqrt(1-p))/4
+
+    (the spectral-transform derivative of ``legacy/gqmap_gpuV3.m:95-114``),
+    then the shared alpha/Bethe-entropy finalization of
+    :func:`finalize_closed`.
+    """
+    dtype = raw.Ei.dtype
+    inv_pi = jnp.asarray(1.0 / math.pi, dtype)
+    q = jnp.sqrt(1.0 + p)
+    r = jnp.sqrt(1.0 - p)
+    s = (q + r) * 0.5
+    t = (q - r) * 0.5
+    ds = (1.0 / q - 1.0 / r) * 0.25
+    dt = (1.0 / q + 1.0 / r) * 0.25
+    Ef = raw.Ei * inv_pi
+    dEdu1 = raw.A1 * inv_pi
+    dEdu2 = raw.A2 * inv_pi
+    dEdo1 = _SQRT2 * (s * raw.Ci + t * raw.Cj) * inv_pi
+    dEdo2 = _SQRT2 * (t * raw.Di + s * raw.Dj) * inv_pi
+    dEdp = _SQRT2 * (
+        o1 * (ds * raw.Ci + dt * raw.Cj) + o2 * (dt * raw.Di + ds * raw.Dj)
+    ) * inv_pi
+    return finalize_closed(Ef, dEdu1, dEdu2, dEdo1, dEdo2, dEdp, a, o1, o2, p, T, entropy_scale)
 
 
 def gq_ei_diff(

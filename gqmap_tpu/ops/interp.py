@@ -26,6 +26,7 @@ __all__ = [
     "upsample_cubic",
     "interp2_linear",
     "fill_missing_nearest",
+    "prewitt_gradients",
 ]
 
 
@@ -133,6 +134,30 @@ def sample_bicubic(VV: jnp.ndarray, Xq: jnp.ndarray, Yq: jnp.ndarray, pack_pairs
             Vq = Vq + taps[k] * (wx[dc] * wy[dr])
             k += 1
     return Vq * jnp.asarray(0.25, dtype)
+
+
+def prewitt_gradients(V: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Prewitt spatial gradients ``(Gx, Gy)`` of a 2-D image.
+
+    ``Gx = dV/dx`` (x = columns), ``Gy = dV/dy`` (y = rows): a central
+    difference along the derivative axis smoothed by a 3-tap box along the
+    other — the Prewitt operator normalized by 1/6 so the output is a true
+    derivative estimate (the reference feeds MATLAB ``imgradientxy(I2,
+    'prewitt')`` output, which carries the unnormalized 6x mask scale,
+    into its chain rule — ``legacy/gqmap_gpuV3.m:18``; a pure gain on the
+    node gradient absorbed there by the hand-tuned step/lambda).
+    Replicate-padded edges (one-sided differences degenerate to 0 at the
+    boundary columns/rows, matching conv 'same' zero-gradient edges closely
+    enough for the frozen border ring).
+    """
+    Vp = jnp.pad(V, 1, mode="edge")
+    box_rows = (Vp[:-2, 1:-1] + Vp[1:-1, 1:-1] + Vp[2:, 1:-1]) / 3.0
+    box_cols = (Vp[1:-1, :-2] + Vp[1:-1, 1:-1] + Vp[1:-1, 2:]) / 3.0
+    bp = jnp.pad(box_rows, ((0, 0), (1, 1)), mode="edge")
+    Gx = (bp[:, 2:] - bp[:, :-2]) / 2.0
+    bq = jnp.pad(box_cols, ((1, 1), (0, 0)), mode="edge")
+    Gy = (bq[2:, :] - bq[:-2, :]) / 2.0
+    return Gx, Gy
 
 
 def interp2_cubic(V: jnp.ndarray, Xq, Yq) -> jnp.ndarray:

@@ -32,6 +32,8 @@ __all__ = [
     "make_node_pot_bicubic",
     "make_node_pot_nearest",
     "make_node_pot_quadratic",
+    "make_node_pot_windowed",
+    "make_node_pot_nearest_chain",
     "make_edge_pot",
     "make_edge_pot_diff",
     "make_edge_pot_truncquad",
@@ -134,6 +136,133 @@ def make_node_pot_nearest(
         return -lam * jnp.sqrt(eps + (I1l - Vq) ** 2)
 
     return f
+
+
+def make_node_pot_windowed(
+    I1: jnp.ndarray,
+    tab: jnp.ndarray,
+    lambdad: float,
+    epsn: float,
+    rg: int,
+    base: str,
+    rfc: int = 6,
+    origin=None,
+    local_image_shape=None,
+) -> Callable:
+    """Overlapping-window data cost (``legacy/gqmap_cpuV2.m:29-33``,
+    ``gqmap_cpuV3.m:30-32``): the node potential at pixel (i, j) is the MEAN
+    Charbonnier cost over its (2rg+1)^2 window, the candidate displacement
+    shared across the window. ``base`` picks the frame-2 sampler: "bicubic"
+    (on-the-fly cubic, cpuV3; ``tab = pad_cubic(I2)``) or "nearest" (lookup
+    into the 2^rfc-x upsampled frame, cpuV2; ``tab = upsample_cubic``).
+
+    Cost is (2rg+1)^2 x the plain term — a parity/robustness mode, not the
+    flagship path (the spectral terms absorb the window into their
+    coefficient build at zero sweep-time cost).
+
+    Distributed (shard_map) use: frame 1 stays replicated, so window taps
+    reaching across shard cuts read the true neighbor rows; the rg-pad of
+    the global frame only affects the frozen border ring.
+    """
+    Mo, No = I1.shape
+    dtype = I1.dtype
+    lam = jnp.asarray(lambdad, dtype)
+    eps = jnp.asarray(epsn, dtype)
+    W = (2 * rg + 1) ** 2
+    Ml, Nl = local_image_shape if local_image_shape is not None else (Mo, No)
+    if base == "nearest":
+        MM, NN = tab.shape
+        r = float(1 << rfc)
+        flat = tab.reshape(-1)
+
+        def sample(Xq, Yq):
+            ci = jnp.clip(jnp.floor((Yq - 1.0) * r + 1.5), 1, MM).astype(jnp.int32) - 1
+            cj = jnp.clip(jnp.floor((Xq - 1.0) * r + 1.5), 1, NN).astype(jnp.int32) - 1
+            return jnp.take(flat, ci * NN + cj)
+    elif base == "bicubic":
+        def sample(Xq, Yq):
+            return sample_bicubic(tab, Xq, Yq)
+    else:
+        raise ValueError(f"windowed data term needs base bicubic|nearest, got {base!r}")
+
+    def f(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        jj = 1.0 + jax.lax.broadcasted_iota(dtype, (1, Nl), 1)
+        ii = 1.0 + jax.lax.broadcasted_iota(dtype, (Ml, 1), 0)
+        if origin is not None:
+            r0, c0 = origin
+            jj = jj + c0.astype(dtype)
+            ii = ii + r0.astype(dtype)
+        else:
+            r0 = c0 = jnp.asarray(0, jnp.int32)
+        I1p = jnp.pad(I1, rg, mode="edge")
+        acc = jnp.zeros(jnp.broadcast_shapes(x1.shape, x2.shape, (Ml, Nl)), dtype)
+        for di in range(-rg, rg + 1):
+            for dj in range(-rg, rg + 1):
+                I1s = jax.lax.dynamic_slice(I1p, (r0 + (rg + di), c0 + (rg + dj)), (Ml, Nl))
+                Vq = sample(jj + dj + x1, ii + di + x2)
+                acc = acc + jnp.sqrt(eps + (I1s - Vq) ** 2)
+        return -lam * acc / W
+
+    return f
+
+
+def make_node_pot_nearest_chain(
+    I1: jnp.ndarray,
+    I2_cont: jnp.ndarray,
+    I2u_cont: jnp.ndarray,
+    I2v_cont: jnp.ndarray,
+    lambdad: float,
+    epsn: float,
+    rfc: int,
+    origin=None,
+    local_image_shape=None,
+) -> Callable:
+    """Chain-rule node term for the image-gradient (Prewitt) estimator
+    family (``legacy/gqmap_gpuV3.m:91-125``): returns
+    ``fg(x1, x2) -> (f, df/dx1, df/dx2)`` where the spatial derivatives of
+    frame 2 come from precomputed (upsampled) Prewitt gradient fields,
+
+        f       = -lambda_d sqrt(eps + diff^2),  diff = I1 - I2(pos)
+        df/dx1  =  lambda_d diff I2u(pos) / sqrt(eps + diff^2)
+
+    (``I2u = dI2/dx`` with x = columns; the reference feeds MATLAB's
+    unnormalized imgradientxy output — here the Prewitt fields are scaled to
+    true central-difference derivatives so the estimator agrees with the
+    Stein family in expectation, see ``ops.interp.prewitt_gradients``).
+    """
+    Mo, No = I1.shape
+    MM, NN = I2_cont.shape
+    dtype = I1.dtype
+    lam = jnp.asarray(lambdad, dtype)
+    eps = jnp.asarray(epsn, dtype)
+    r = float(1 << rfc)
+    flat = I2_cont.reshape(-1)
+    flatu = I2u_cont.reshape(-1)
+    flatv = I2v_cont.reshape(-1)
+    Ml, Nl = local_image_shape if local_image_shape is not None else (Mo, No)
+
+    def fg(x1: jnp.ndarray, x2: jnp.ndarray):
+        jj = 1.0 + jax.lax.broadcasted_iota(dtype, (1, Nl), 1)
+        ii = 1.0 + jax.lax.broadcasted_iota(dtype, (Ml, 1), 0)
+        I1l = I1
+        if origin is not None:
+            r0, c0 = origin
+            jj = jj + c0.astype(dtype)
+            ii = ii + r0.astype(dtype)
+            I1l = jax.lax.dynamic_slice(I1, (r0, c0), (Ml, Nl))
+        ci = jnp.clip(jnp.floor((ii + x2 - 1.0) * r + 1.5), 1, MM).astype(jnp.int32) - 1
+        cj = jnp.clip(jnp.floor((jj + x1 - 1.0) * r + 1.5), 1, NN).astype(jnp.int32) - 1
+        idx = ci * NN + cj
+        Vq = jnp.take(flat, idx)
+        Gu = jnp.take(flatu, idx)
+        Gv = jnp.take(flatv, idx)
+        diff = I1l - Vq
+        deno = jnp.sqrt(eps + diff * diff)
+        f = -lam * deno
+        s = lam * diff / deno
+        return f, s * Gu, s * Gv
+
+    return fg
 
 
 def make_edge_pot(lambdas: float, epsn: float) -> Callable:

@@ -114,10 +114,11 @@ def make_halo_sweep(cfg: GQMAPConfig, image_shape, mesh: Mesh):
     if cls is not None:
         cheb_specs = cls(P(None, None, "x", "y"), P(), P(), P(), P())
     init_flow_specs = P("x", "y", None) if cfg.data_term == "quadratic" else None
+    grad_specs = (P(), P()) if cfg.gradient_estimator == "prewitt" else None
     problem_specs = Problem(
         I1=P(), I2_tab=P(), interior=P("x", "y"),
         rng=FlowRange(P(), P(), P(), P()),
-        cheb=cheb_specs, init_flow=init_flow_specs,
+        cheb=cheb_specs, init_flow=init_flow_specs, grad_tabs=grad_specs,
     )
     from ..models.gqmap import SweepAux
 

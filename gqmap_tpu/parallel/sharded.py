@@ -58,15 +58,18 @@ def problem_sharding(mesh: Mesh, cfg: GQMAPConfig | None = None) -> Problem:
 
     cheb = None
     init_flow = None
+    grad_tabs = None
     if cfg is not None:
         cls = _cheb_cls(cfg.data_term)
         if cls is not None:
             cheb = cls(NamedSharding(mesh, P(None, None, "x", "y")), rep, rep, rep, rep)
         elif cfg.data_term == "quadratic":
             init_flow = NamedSharding(mesh, P("x", "y", None))
+        if cfg.gradient_estimator == "prewitt":
+            grad_tabs = (rep, rep)
     return Problem(I1=rep, I2_tab=rep, interior=lat,
                    rng=FlowRange(rep, rep, rep, rep), cheb=cheb,
-                   init_flow=init_flow)
+                   init_flow=init_flow, grad_tabs=grad_tabs)
 
 
 def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
@@ -85,6 +88,9 @@ def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
     init_flow = problem.init_flow
     if init_flow is not None:
         init_flow = jax.device_put(init_flow, NamedSharding(mesh, P("x", "y", None)))
+    grad_tabs = problem.grad_tabs
+    if grad_tabs is not None:
+        grad_tabs = tuple(jax.device_put(t, rep) for t in grad_tabs)
     return Problem(
         I1=jax.device_put(problem.I1, rep),
         I2_tab=jax.device_put(problem.I2_tab, rep),
@@ -92,6 +98,7 @@ def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
         rng=problem.rng,
         cheb=cheb,
         init_flow=init_flow,
+        grad_tabs=grad_tabs,
     )
 
 
