@@ -12,7 +12,8 @@ reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 relative to the best previously recorded round (``BENCH_r*.json``), or
 1.0 on the first measurement.
 
-Measurement: dependency-chained sweeps with forced literal fetches (on the
+Measurement: one 300-sweep on-device segment (the solver's production
+execution shape) timed end to end with a forced literal fetch (on the
 tunneled runtime ``block_until_ready`` does not synchronize).
 """
 
@@ -58,35 +59,31 @@ def previous_best():
     return best
 
 
-def measure(data_term: str, warm_batches: int = 1, batch: int = 5, min_sweeps: int = 20):
-    import jax
-
+def measure(data_term: str, warm: int = 10, seg_len: int = 300):
+    """Per-sweep throughput of the PRODUCTION path: the on-device segment
+    runner (one ``lax.while_loop`` per eval cadence, exactly how ``solve``
+    executes — ``gqmap_gpu_mixture.m:52``'s mod-300 eval). Measuring
+    per-call ``jit(sweep)`` dispatch instead under-reports by ~25% on the
+    tunneled runtime (~7 ms dispatch per call at flagship scale)."""
     from gqmap_tpu.config import GQMAPConfig
-    from gqmap_tpu.models.gqmap import init_state, make_problem, make_sweep
+    from gqmap_tpu.models.gqmap import init_state, make_problem, make_segment_runner
 
     I1, I2, fr = load_problem_images()
     cfg = GQMAPConfig.full_mixture(
         dtype="float32", quad_chunk=27, data_term=data_term, cheb_p=96, cheb_q=16,
-        edge_quad="reduced",
+        edge_quad="reduced", eval_every=seg_len, tor=0.0,
     )
     problem = make_problem(cfg, I1, I2, fr)
     state = init_state(cfg, fr, I1.shape)
-    sweep = jax.jit(make_sweep(cfg, I1.shape))
+    seg = make_segment_runner(cfg, I1.shape)
 
-    s, aux = sweep(problem, state)
-    float(aux.energy)  # compile + true sync
-    for _ in range(warm_batches * batch):
-        s, aux = sweep(problem, s)
-    float(aux.energy)
-
-    n = 0
+    st, n, eb, *_ = seg(problem, state, warm)
+    float(eb[0])  # compile + true sync (block_until_ready lies here)
     t0 = time.time()
-    while n < min_sweeps:
-        for _ in range(batch):
-            s, aux = sweep(problem, s)
-        float(aux.energy)  # bound per-call device time; keeps watchdogs happy
-        n += batch
-    dt = (time.time() - t0) / n
+    st, n, eb, *_ = seg(problem, st, seg_len)
+    float(eb[seg_len - 1])
+    assert int(n) == seg_len, (int(n), seg_len)
+    dt = (time.time() - t0) / seg_len
     return I1.size / dt / 1e6  # Mpixel-sweeps/s/chip
 
 
@@ -99,7 +96,7 @@ def main():
     value = None
     for attempt in range(3):
         try:
-            value = measure(mode, batch=5)
+            value = measure(mode)
             break
         except Exception:
             if attempt == 2:

@@ -70,6 +70,12 @@ class GQMAPConfig:
     edge_quad_k: int = 0          # 1-D order for edge_quad="reduced";
                                   # 0 = auto (2K+3: beats the tensor rule's
                                   # effective d-axis resolution, see tests)
+    edge_kernel: str = "auto"     # reduced-edge evaluator: "xla" (scan +
+                                  # finalize passes), "pallas" (fused
+                                  # quad+finalize in VMEM,
+                                  # kernels/edge_reduced_gq.py), "auto"
+                                  # (pallas on TPU for Charbonnier edges +
+                                  # Stein estimator, same rule as node_kernel)
     gama: float = 1.0             # truncated-quadratic edge scale
     dta: float = 10.0             # truncation cutoff
 

@@ -302,6 +302,24 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
         elif cfg.node_kernel != "xla":
             raise ValueError(f"unknown node_kernel {cfg.node_kernel!r}")
 
+    # Fused reduced-edge evaluator (same trace-time rule): quad + transform
+    # + finalize in one VMEM pass instead of three HBM round-trips over the
+    # 12-plane edge arrays (kernels/edge_reduced_gq.py).
+    use_edge_pallas = False
+    if (
+        cfg.edge_quad == "reduced"
+        and cfg.edge_kind == "charbonnier"
+        and cfg.gradient_estimator != "autodiff"
+    ):
+        if cfg.edge_kernel == "pallas":
+            use_edge_pallas = True
+        elif cfg.edge_kernel == "auto":
+            # conservative until the fused kernel is profiled on hardware:
+            # auto currently keeps the XLA path (flip pending measurement)
+            use_edge_pallas = False
+        elif cfg.edge_kernel != "xla":
+            raise ValueError(f"unknown edge_kernel {cfg.edge_kernel!r}")
+
     def sweep(problem: Problem, state: GQState) -> tuple[GQState, SweepAux]:
         if dist is None:
             node_f = _node_f(cfg, problem)
@@ -424,11 +442,19 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
             o1e = sg[None]
             u2e = jnp.stack([roll(mu, -1, -2), roll(mu, -1, -1)], axis=0)
             o2e = jnp.stack([roll(sg, -1, -2), roll(sg, -1, -1)], axis=0)
-            if cfg.edge_quad == "reduced":
+            if use_edge_pallas:
+                from ..kernels.edge_reduced_gq import edge_reduced_grads_pallas
+
+                ge = edge_reduced_grads_pallas(
+                    mu, sg, u2e, o2e, state.rou, alpha, T,
+                    k1, cfg.lambdas, cfg.epsn, EDGE,
+                )
+            elif cfg.edge_quad == "reduced":
                 raw_e = gq_accumulate_diff(edge_fd, u1e, u2e, o1e, o2e, state.rou, tab1)
+                ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
             else:
                 raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
-            ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
+                ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
 
             # --- gradient assembly: endpoint-1 terms stay, endpoint-2 terms
             # are scattered back to the neighbor that owns them (:37-40) ---

@@ -106,11 +106,10 @@ def build_cheb_data(
             npt = npt.reshape(M, patch, N, patch).sum(axis=(1, 3))
         return npt
 
-    uv_grid = jnp.asarray(
-        np.stack(np.broadcast_arrays(us[:, None], vs[None, :]), -1).reshape(-1, 2),
-        dtype,
-    )
-    vals = jax.lax.map(eval_node, uv_grid, batch_size=max(1, min(Q, 16)))
+    from .cosine import _eval_sample_grid
+
+    uv_grid = np.stack(np.broadcast_arrays(us[:, None], vs[None, :]), -1).reshape(-1, 2)
+    vals = _eval_sample_grid(eval_node, uv_grid, (M, N), dtype)
     vals = vals.reshape(P, Q, M, N)
 
     Du = jnp.asarray(_dct_matrix(P), dtype)

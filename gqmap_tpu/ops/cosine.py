@@ -59,6 +59,30 @@ class CosData(NamedTuple):
     hi_v: jnp.ndarray
 
 
+def _eval_sample_grid(eval_node, uv_grid: np.ndarray, out_shape, dtype,
+                      chunk: int = 512, batch: int = 16):
+    """Evaluate the displacement-sample grid in bounded device programs.
+
+    One giant ``lax.map`` over thousands of full-frame bicubic samples runs
+    for minutes as a single XLA program, which the tunneled runtime's
+    watchdog kills ("TPU worker crashed") — observed at A*B ~ 4.6k samples.
+    Chunking into fixed-size programs (identical shape -> one compile)
+    bounds each program to seconds; the host loop costs only dispatch.
+    """
+    n = uv_grid.shape[0]
+    fn = jax.jit(lambda uvc: jax.lax.map(eval_node, uvc, batch_size=batch))
+    outs = []
+    for i in range(0, n, chunk):
+        uvc = uv_grid[i : i + chunk]
+        if uvc.shape[0] < chunk:  # pad to the compiled chunk shape
+            uvc = np.concatenate(
+                [uvc, np.repeat(uvc[-1:], chunk - uvc.shape[0], axis=0)], axis=0
+            )
+        outs.append(fn(jnp.asarray(uvc, dtype)))
+    vals = jnp.concatenate(outs, axis=0)[:n]
+    return vals
+
+
 def _dct2_matrix(P: int) -> np.ndarray:
     """(P, P) type-II DCT matrix D with coeffs = D @ values-at-midpoints,
     normalized so that ``f(x_j) = sum_a c_a cos(a*pi*(j+1/2)/P)``."""
@@ -130,11 +154,8 @@ def build_cos_data(
             npt = npt.reshape(M, patch, N, patch).sum(axis=(1, 3))
         return npt
 
-    uv_grid = jnp.asarray(
-        np.stack(np.broadcast_arrays(us[:, None], vs[None, :]), -1).reshape(-1, 2),
-        dtype,
-    )
-    vals = jax.lax.map(eval_node, uv_grid, batch_size=max(1, min(B, 16)))
+    uv_grid = np.stack(np.broadcast_arrays(us[:, None], vs[None, :]), -1).reshape(-1, 2)
+    vals = _eval_sample_grid(eval_node, uv_grid, (M, N), dtype)
     vals = vals.reshape(A, B, M, N)
 
     Du = jnp.asarray(_dct2_matrix(A), dtype)
