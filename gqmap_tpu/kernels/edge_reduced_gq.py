@@ -145,7 +145,11 @@ def edge_reduced_grads_pallas(
                           eps=float(epsn), entropy_scale=float(entropy_scale)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # tab (2, K1)
+            # tab (2, K1) lives in SMEM: the quadrature loop reads it at a
+            # dynamic index k, and Mosaic only supports dynamic scalar
+            # indexing from scalar memory (a VMEM vector.load at a dynamic
+            # lane offset fails to compile on hardware).
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tab (2, K1)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # alpha (L,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # T (1,)
             end1_spec, end1_spec, end2_spec, end2_spec, end2_spec,

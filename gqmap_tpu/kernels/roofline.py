@@ -5,10 +5,14 @@ elementwise rate, arbitrary-index gather rate — the TPU-specific bound
 that governs the exact data term) and the achieved per-sweep time of each
 data-term mode, then reports achieved fraction of the governing bound.
 
-IMPORTANT measurement note (learned the hard way on the tunneled runtime):
-``block_until_ready`` does not actually synchronize there; every timing
-below forces a scalar literal fetch, and the reported round-trip latency is
-subtracted.
+IMPORTANT measurement notes (learned the hard way on the tunneled runtime):
+``block_until_ready`` does not actually synchronize there — every timing
+below forces a scalar literal fetch. The host round-trip is ~25 ms with
+~±20 ms jitter, so ceilings are measured by running the op many times
+inside one on-device ``fori_loop`` with a *traced* trip count and
+differencing two trip counts of the same executable (see ``timed``); and
+microbenchmark loop bodies must resist XLA's algebraic loop collapsing
+(vector multiplier, index-dependent gathers).
 """
 
 from __future__ import annotations
@@ -36,48 +40,97 @@ def _sync_time(fn, *args, n=5):
     return (time.time() - t0) / n, v
 
 
-def measure_ceilings(dtype=jnp.float32):
+def measure_ceilings(dtype=jnp.float32, reps: int = 64):
+    """Machine ceilings, each microbenchmark amortized ON DEVICE.
+
+    A single-dispatch measurement is useless on the tunneled runtime: the
+    host round-trip is ~25 ms while the op under test takes ~0.1-2 ms, so
+    the subtraction is all noise (this produced >1 "fractions of bound" in
+    an earlier revision). Every ceiling below runs ``reps`` iterations of
+    the op inside one ``lax.fori_loop`` in one compiled program, so the
+    dispatch cost is paid once and divided out.
+    """
     key = jax.random.PRNGKey(0)
 
-    # round-trip latency
+    # round-trip latency (reported for context only)
     lat, _ = _sync_time(jax.jit(lambda x: x + 1.0), jnp.zeros((), dtype))
 
-    # HBM stream: big copy-scale (read+write 2x)
+    def timed(fn, *args, n1, n2):
+        """Per-iteration time via two trip counts of ONE compiled program.
+
+        The loop bound is a traced argument, so both calls hit the same
+        executable; differencing the two elapsed times cancels dispatch,
+        tunnel round-trip and fetch overhead. Tunnel jitter is ~±20 ms, so
+        callers must pick (n2 - n1) large enough that the work difference
+        is >= ~0.5 s (subtracting a separately-sampled latency, or using
+        small trip counts, both produced nonsense ceilings).
+        """
+        f = jax.jit(fn)
+
+        def run(n):
+            t0 = time.time()
+            float(jnp.sum(f(*args, jnp.asarray(n, jnp.int32))))
+            return time.time() - t0
+
+        run(n1)  # compile + warm
+        t1 = min(run(n1) for _ in range(2))
+        t2 = min(run(n2) for _ in range(2))
+        return max(t2 - t1, 1e-9) / (n2 - n1)
+
+    # HBM stream: big elementwise vector multiply (2 reads + 1 write per
+    # iteration) repeated on device. The multiplier must be a VECTOR: with
+    # a scalar factor XLA hoists the product out of the loop and the
+    # "stream" degenerates to per-iteration loop overhead (measured: 24 us
+    #/iter vs the real 92 us/iter).
     big = jax.random.uniform(key, (64 * 1024 * 1024 // 4,), dtype)  # 64 MB
-    t, _ = _sync_time(jax.jit(lambda x: (x * 1.000001).sum()), big)
-    stream_gbs = big.size * big.dtype.itemsize / max(t - lat, 1e-9) / 1e9
+    mulv = jax.random.uniform(jax.random.PRNGKey(1), big.shape, dtype) * 1e-9 + 1.0
 
-    # VPU elementwise rate (fused chain, ~20 flops/elem)
-    x = jax.random.uniform(key, (16 * 1024 * 1024 // 4,), dtype)
+    def stream(x, bb, n):
+        def body(i, a):
+            return a * bb
+        return jax.lax.fori_loop(0, n, body, x).sum()
 
-    @jax.jit
-    def chain(x):
-        a = x
-        for _ in range(10):
-            a = jnp.sqrt(a * a + x)
-        return a.sum()
+    t = timed(stream, big, mulv, n1=64, n2=4160)
+    stream_gbs = 3.0 * big.size * big.dtype.itemsize / max(t, 1e-9) / 1e9
 
-    t, _ = _sync_time(chain, x)
-    vpu_gflops = x.size * 30 / max(t - lat, 1e-9) / 1e9
+    # VPU elementwise rate (fused sqrt/mul/add chain, ~3 flops per op x 10)
+    x = jax.random.uniform(key, (16 * 1024 * 1024 // 4,), dtype) + 0.5
 
-    # arbitrary-index gather rate
+    def chain(x0, n):
+        def body(i, a):
+            for _ in range(10):
+                a = jnp.sqrt(a * a + x0)
+            return a
+        return jax.lax.fori_loop(0, n, body, x0).sum()
+
+    t = timed(chain, x, n1=256, n2=2304)
+    vpu_gflops = x.size * 30.0 / max(t, 1e-9) / 1e9
+
+    # arbitrary-index gather rate (the bound on the exact bicubic term).
+    # Index vector is re-offset each iteration so the loop cannot be CSEd.
     tab = jax.random.uniform(key, (380 * 456,), dtype)
-    idx = jax.random.randint(key, (8_000_000,), 0, tab.size - 1, jnp.int32)
-    t, _ = _sync_time(jax.jit(lambda t_, i: jnp.take(t_, i).sum()), tab, idx)
-    gather_mps = idx.size / max(t - lat, 1e-9) / 1e6
+    idx = jax.random.randint(key, (8_000_000,), 0, tab.size - 2, jnp.int32)
+
+    def gather(t_, i_, n):
+        def body(k, acc):
+            return acc + jnp.take(t_, i_ + (k % 2)).sum()
+        return jax.lax.fori_loop(0, (n + 7) // 8, body, jnp.zeros((), dtype))
+
+    t = timed(gather, tab, idx, n1=16, n2=144) * 8
+    gather_mps = idx.size / max(t, 1e-9) / 1e6
 
     # transcendental (exp) rate — the cosine kernel issues 2 exps per mode
     y = jax.random.uniform(key, (16 * 1024 * 1024 // 4,), dtype) * -0.1
 
-    @jax.jit
-    def expchain(x):
-        a = x
-        for _ in range(10):
-            a = jnp.exp(a * -0.9)
-        return a.sum()
+    def expchain(y0, n):
+        def body(i, a):
+            for _ in range(10):
+                a = jnp.exp(a * -0.9)
+            return a
+        return jax.lax.fori_loop(0, n, body, y0).sum()
 
-    t, _ = _sync_time(expchain, y)
-    exp_gops = y.size * 10 / max(t - lat, 1e-9) / 1e9
+    t = timed(expchain, y, n1=64, n2=576)
+    exp_gops = y.size * 10.0 / max(t, 1e-9) / 1e9
 
     return dict(
         roundtrip_ms=lat * 1e3,

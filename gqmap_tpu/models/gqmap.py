@@ -314,9 +314,16 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
         if cfg.edge_kernel == "pallas":
             use_edge_pallas = True
         elif cfg.edge_kernel == "auto":
-            # conservative until the fused kernel is profiled on hardware:
-            # auto currently keeps the XLA path (flip pending measurement)
-            use_edge_pallas = False
+            # measured on v5e (376x452 L=3 K=9 in-segment): fused kernel
+            # 21.3 ms/sweep vs 23.1 ms XLA (+8%) — same auto rule as the
+            # node kernel: Pallas on TPU, single chip or per-shard.
+            try:
+                use_edge_pallas = (
+                    jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+                    and (dist is not None or jax.device_count() == 1)
+                )
+            except Exception:
+                use_edge_pallas = False
         elif cfg.edge_kernel != "xla":
             raise ValueError(f"unknown edge_kernel {cfg.edge_kernel!r}")
 
