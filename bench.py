@@ -46,8 +46,13 @@ def load_problem_images():
 
 
 def previous_best():
+    # Resolve against this script's directory, NOT the cwd: the driver runs
+    # bench.py from an arbitrary working directory, and a cwd-relative glob
+    # silently found nothing in round 2 (vs_baseline came out 1.0 despite a
+    # committed BENCH_r01.json).
     best = None
-    for path in glob.glob("BENCH_r*.json"):
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as f:
                 rec = json.load(f)

@@ -70,12 +70,15 @@ class GQMAPConfig:
     edge_quad_k: int = 0          # 1-D order for edge_quad="reduced";
                                   # 0 = auto (2K+3: beats the tensor rule's
                                   # effective d-axis resolution, see tests)
-    edge_kernel: str = "auto"     # reduced-edge evaluator: "xla" (scan +
-                                  # finalize passes), "pallas" (fused
-                                  # quad+finalize in VMEM,
-                                  # kernels/edge_reduced_gq.py), "auto"
-                                  # (pallas on TPU for Charbonnier edges +
-                                  # Stein estimator, same rule as node_kernel)
+    edge_kernel: str = "auto"     # edge evaluator: "xla" (scan + finalize
+                                  # passes), "pallas" (fused VMEM kernel:
+                                  # kernels/edge_reduced_gq.py for
+                                  # edge_quad="reduced", kernels/edge_gq.py
+                                  # for edge_quad="tensor"), "auto" (pallas
+                                  # for the reduced rule on TPU with
+                                  # Charbonnier edges + Stein estimator,
+                                  # same rule as node_kernel; the tensor
+                                  # kernel stays opt-in)
     gama: float = 1.0             # truncated-quadratic edge scale
     dta: float = 10.0             # truncation cutoff
 

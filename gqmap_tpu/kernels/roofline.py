@@ -40,42 +40,44 @@ def _sync_time(fn, *args, n=5):
     return (time.time() - t0) / n, v
 
 
-def measure_ceilings(dtype=jnp.float32, reps: int = 64):
+def timed(fn, *args, n1, n2):
+    """Per-iteration time via two trip counts of ONE compiled program.
+
+    ``fn(*args, n)`` must run ``n`` iterations of the op under test inside
+    one on-device loop. The loop bound is a traced argument, so both calls
+    hit the same executable; differencing the two elapsed times cancels
+    dispatch, tunnel round-trip and fetch overhead. Tunnel jitter is
+    ~±20 ms, so callers must pick (n2 - n1) large enough that the work
+    difference is >= ~0.5 s (subtracting a separately-sampled latency, or
+    using small trip counts, both produced nonsense ceilings).
+    """
+    f = jax.jit(fn)
+
+    def run(n):
+        t0 = time.time()
+        float(jnp.sum(f(*args, jnp.asarray(n, jnp.int32))))
+        return time.time() - t0
+
+    run(n1)  # compile + warm
+    t1 = min(run(n1) for _ in range(2))
+    t2 = min(run(n2) for _ in range(2))
+    return max(t2 - t1, 1e-9) / (n2 - n1)
+
+
+def measure_ceilings(dtype=jnp.float32):
     """Machine ceilings, each microbenchmark amortized ON DEVICE.
 
     A single-dispatch measurement is useless on the tunneled runtime: the
     host round-trip is ~25 ms while the op under test takes ~0.1-2 ms, so
     the subtraction is all noise (this produced >1 "fractions of bound" in
-    an earlier revision). Every ceiling below runs ``reps`` iterations of
-    the op inside one ``lax.fori_loop`` in one compiled program, so the
-    dispatch cost is paid once and divided out.
+    an earlier revision). Every ceiling below runs its op inside one
+    ``lax.fori_loop`` with a traced trip count (see :func:`timed`), so the
+    dispatch cost is paid once and differenced out.
     """
     key = jax.random.PRNGKey(0)
 
     # round-trip latency (reported for context only)
     lat, _ = _sync_time(jax.jit(lambda x: x + 1.0), jnp.zeros((), dtype))
-
-    def timed(fn, *args, n1, n2):
-        """Per-iteration time via two trip counts of ONE compiled program.
-
-        The loop bound is a traced argument, so both calls hit the same
-        executable; differencing the two elapsed times cancels dispatch,
-        tunnel round-trip and fetch overhead. Tunnel jitter is ~±20 ms, so
-        callers must pick (n2 - n1) large enough that the work difference
-        is >= ~0.5 s (subtracting a separately-sampled latency, or using
-        small trip counts, both produced nonsense ceilings).
-        """
-        f = jax.jit(fn)
-
-        def run(n):
-            t0 = time.time()
-            float(jnp.sum(f(*args, jnp.asarray(n, jnp.int32))))
-            return time.time() - t0
-
-        run(n1)  # compile + warm
-        t1 = min(run(n1) for _ in range(2))
-        t2 = min(run(n2) for _ in range(2))
-        return max(t2 - t1, 1e-9) / (n2 - n1)
 
     # HBM stream: big elementwise vector multiply (2 reads + 1 write per
     # iteration) repeated on device. The multiplier must be a VECTOR: with
@@ -107,16 +109,22 @@ def measure_ceilings(dtype=jnp.float32, reps: int = 64):
     vpu_gflops = x.size * 30.0 / max(t, 1e-9) / 1e9
 
     # arbitrary-index gather rate (the bound on the exact bicubic term).
-    # Index vector is re-offset each iteration so the loop cannot be CSEd.
+    # The index vector alternates between two PRECOMPUTED offset variants
+    # (selected by k % 2) so the loop cannot be CSEd without paying a
+    # per-iteration vector add that would inflate the per-tap time; trip
+    # counts sized so the differenced gather work is ~2 s at the measured
+    # ~140 Mtaps/s (>= the 0.5 s the `timed` contract requires).
     tab = jax.random.uniform(key, (380 * 456,), dtype)
     idx = jax.random.randint(key, (8_000_000,), 0, tab.size - 2, jnp.int32)
+    idx2 = jnp.stack([idx, idx + 1])
 
-    def gather(t_, i_, n):
+    def gather(t_, i2_, n):
         def body(k, acc):
-            return acc + jnp.take(t_, i_ + (k % 2)).sum()
+            iv = jax.lax.dynamic_index_in_dim(i2_, k % 2, 0, keepdims=False)
+            return acc + jnp.take(t_, iv).sum()
         return jax.lax.fori_loop(0, (n + 7) // 8, body, jnp.zeros((), dtype))
 
-    t = timed(gather, tab, idx, n1=16, n2=144) * 8
+    t = timed(gather, tab, idx2, n1=16, n2=304) * 8
     gather_mps = idx.size / max(t, 1e-9) / 1e6
 
     # transcendental (exp) rate — the cosine kernel issues 2 exps per mode
@@ -141,20 +149,30 @@ def measure_ceilings(dtype=jnp.float32, reps: int = 64):
     )
 
 
-def sweep_roofline(image_shape=(376, 452), seed=0, modes=("bicubic", "nearest", "chebyshev")):
-    """Per-sweep time and bound-efficiency for each data-term mode."""
+def sweep_roofline(image_shape=(376, 452), seed=0,
+                   modes=("cosine", "chebyshev", "nearest", "bicubic"),
+                   ceilings=None):
+    """Per-sweep time and bound-efficiency for each data-term mode.
+
+    The flagship ``cosine`` mode runs FIRST so a watchdog kill partway
+    through (the exact ``bicubic`` mode takes ~8 s/sweep) still leaves the
+    number that matters.
+    """
     M, N = image_shape
     r = np.random.default_rng(seed)
     I1 = r.uniform(0, 255, (M, N))
     I2 = np.roll(I1, 1, axis=1)
     fr = FlowRange(-10.0, 2.0, -2.0, 2.0)
-    ceil = measure_ceilings()
+    ceil = measure_ceilings() if ceilings is None else ceilings
     out = {"ceilings": ceil, "modes": {}}
 
     for mode in modes:
-        cfg = GQMAPConfig.full_mixture(
-            dtype="float32", quad_chunk=27, data_term=mode, cheb_p=96, cheb_q=16
-        )
+        if mode == "cosine":
+            cfg = GQMAPConfig.tpu_fast(dtype="float32", cheb_p=96, cheb_q=16)
+        else:
+            cfg = GQMAPConfig.full_mixture(
+                dtype="float32", quad_chunk=27, data_term=mode, cheb_p=96, cheb_q=16
+            )
         problem = make_problem(cfg, I1, I2, fr)
         state = init_state(cfg, fr, I1.shape)
         fn = jax.jit(make_sweep(cfg, I1.shape))
@@ -169,10 +187,16 @@ def sweep_roofline(image_shape=(376, 452), seed=0, modes=("bicubic", "nearest", 
 
         K2 = cfg.K**2
         sites = M * N * cfg.L
-        taps = {"bicubic": 16, "nearest": 1, "chebyshev": 0}[mode] * sites * K2
+        taps = {"bicubic": 16, "nearest": 1, "chebyshev": 0, "cosine": 0}[mode] * sites * K2
         if taps:
             bound_s = taps / (ceil["gather_Mtaps_s"] * 1e6)
             governing = "gather"
+        elif mode == "cosine":
+            # closed form: no quadrature; ~36 flops per (mode, site) in the
+            # characteristic-function mode loop (kernels/cosine_gq.py)
+            flops = sites * cfg.cheb_p * cfg.cheb_q * 36
+            bound_s = flops / (ceil["vpu_GFLOPs"] * 1e9)
+            governing = "vpu"
         else:
             flops = sites * K2 * 2 * cfg.cheb_p * cfg.cheb_q  # ~2PQ MACs/sample
             bound_s = flops / (ceil["vpu_GFLOPs"] * 1e9)
@@ -187,7 +211,7 @@ def sweep_roofline(image_shape=(376, 452), seed=0, modes=("bicubic", "nearest", 
     return out
 
 
-def flagship_roofline(image_shape=(376, 452), seed=0, A=96, B=16):
+def flagship_roofline(image_shape=(376, 452), seed=0, A=96, B=16, ceilings=None):
     """Achieved fraction of the governing ceiling for the flagship path.
 
     Two measurements (VERDICT r1 item 4 — a number, not prose):
@@ -209,8 +233,7 @@ def flagship_roofline(image_shape=(376, 452), seed=0, A=96, B=16):
     I1 = r.uniform(0, 255, (M, N))
     I2 = np.roll(I1, 1, axis=1)
     fr = FlowRange(-10.0, 2.0, -2.0, 2.0)
-    ceil = measure_ceilings()
-    lat = ceil["roundtrip_ms"] / 1e3
+    ceil = measure_ceilings() if ceilings is None else ceilings
 
     cfg = GQMAPConfig.tpu_fast(dtype="float32", cheb_p=A, cheb_q=B)
     problem = make_problem(cfg, I1, I2, fr)
@@ -219,13 +242,26 @@ def flagship_roofline(image_shape=(376, 452), seed=0, A=96, B=16):
     sites = L * M * N
     modes = A * B
 
-    # --- Pallas kernel alone ---
+    # --- Pallas kernel alone, timed the same two-trip-count way as the
+    # ceilings: the kernel runs inside one on-device fori_loop whose input
+    # depends on the previous iteration's output (no hoisting/overlap), and
+    # two traced trip counts of the SAME executable are differenced — the
+    # single-dispatch-minus-latency pattern this replaced produced nonsense
+    # >1 fractions on the tunneled runtime. ---
     from .cosine_gq import cos_mode_sums_pallas
 
-    kfn = jax.jit(lambda ch, s: cos_mode_sums_pallas(
-        ch, s.muu, s.muv, s.sigmau, s.sigmav, s.pn, a_block=cfg.cheb_ablock))
-    t_k, _ = _sync_time(kfn, problem.cheb, state)
-    t_k = max(t_k - lat, 1e-9)
+    def kloop(ch, s, n):
+        def body(i, acc):
+            outs = cos_mode_sums_pallas(
+                ch, s.muu + acc, s.muv, s.sigmau, s.sigmav, s.pn,
+                a_block=cfg.cheb_ablock,
+            )
+            # serialize iterations through a value that is always ~0
+            return outs[0].ravel()[0] * jnp.asarray(1e-30, s.muu.dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), s.muu.dtype))
+
+    t_k = timed(kloop, problem.cheb, state, n1=4, n2=34)
     kernel_flops = sites * modes * 36.0
     kernel_exps = sites * modes * 2.0
     kernel_bytes = 4.0 * (A * B * M * N + 11 * sites)
@@ -277,9 +313,17 @@ def flagship_roofline(image_shape=(376, 452), seed=0, A=96, B=16):
     return {"ceilings": ceil, "pallas_cosine_kernel": kernel, "tpu_fast_sweep": sweep}
 
 
-def main():
-    out = sweep_roofline()
-    out["flagship"] = flagship_roofline()
+def main(argv=None):
+    """Flagship first (the number the ≥70%-of-bound target is about), then
+    the per-mode table. ``argv``: optional mode list, e.g.
+    ``python -m gqmap_tpu.kernels.roofline cosine chebyshev``."""
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    ceil = measure_ceilings()
+    out = {"flagship": flagship_roofline(ceilings=ceil)}
+    modes = tuple(argv) if argv else ("cosine", "chebyshev", "nearest", "bicubic")
+    out.update(sweep_roofline(modes=modes, ceilings=ceil))
     print(json.dumps(out, indent=2))
 
 

@@ -280,52 +280,57 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
     roll = dist.roll if dist is not None else jnp.roll
     psum = dist.psum if dist is not None else (lambda x: x)
 
-    # Cosine node-term evaluator choice (trace-time, not runtime): the fused
-    # Pallas kernel is ~2.9x the XLA mode-loop on v5e (PERFORMANCE.md) but is
-    # Mosaic/TPU-only and opaque to GSPMD's propagation, so "auto" enables it
-    # (a) on single-device TPU runs and (b) per-shard inside the shard_map
-    # halo path (`dist is not None`), where every array the kernel sees is
-    # already the local block — the standard Pallas-under-shard_map pattern.
-    # Multi-device GSPMD (dist None, >1 device) keeps the XLA mode loop.
-    use_pallas = False
-    if cfg.data_term == "cosine" and cfg.gradient_estimator != "autodiff":
-        if cfg.node_kernel == "pallas":
-            use_pallas = True
-        elif cfg.node_kernel == "auto":
-            try:
-                use_pallas = (
-                    jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-                    and (dist is not None or jax.device_count() == 1)
-                )
-            except Exception:
-                use_pallas = False
-        elif cfg.node_kernel != "xla":
-            raise ValueError(f"unknown node_kernel {cfg.node_kernel!r}")
+    # Kernel choice is trace-time, not runtime. The Pallas kernels are
+    # Mosaic/TPU-only and opaque to GSPMD's propagation, so "auto" enables
+    # them (a) on single-device TPU runs and (b) per-shard inside the
+    # shard_map halo path (`dist is not None`), where every array the kernel
+    # sees is already the local block — the standard Pallas-under-shard_map
+    # pattern. Multi-device GSPMD (dist None, >1 device) keeps the XLA path.
+    # TPU is an explicit allowlist: an unknown future backend must not be
+    # handed a Mosaic kernel.
+    def _pick_kernel(setting: str, field: str) -> bool:
+        if setting == "pallas":
+            return True
+        if setting == "xla":
+            return False
+        if setting != "auto":
+            raise ValueError(f"unknown {field} {setting!r}")
+        try:
+            return jax.default_backend() == "tpu" and (
+                dist is not None or jax.device_count() == 1
+            )
+        except Exception:
+            return False
 
-    # Fused reduced-edge evaluator (same trace-time rule): quad + transform
-    # + finalize in one VMEM pass instead of three HBM round-trips over the
-    # 12-plane edge arrays (kernels/edge_reduced_gq.py).
-    use_edge_pallas = False
-    if (
+    # Cosine node-term evaluator: the fused Pallas kernel is ~2.9x the XLA
+    # mode-loop on v5e (PERFORMANCE.md).
+    use_pallas = (
+        cfg.data_term == "cosine"
+        and cfg.gradient_estimator != "autodiff"
+        and _pick_kernel(cfg.node_kernel, "node_kernel")
+    )
+
+    # Fused reduced-edge evaluator: quad + transform + finalize in one VMEM
+    # pass instead of three HBM round-trips over the 12-plane edge arrays
+    # (kernels/edge_reduced_gq.py; measured on v5e 376x452 L=3 K=9
+    # in-segment: 21.3 ms/sweep vs 23.1 ms XLA).
+    use_edge_pallas = (
         cfg.edge_quad == "reduced"
         and cfg.edge_kind == "charbonnier"
         and cfg.gradient_estimator != "autodiff"
-    ):
-        if cfg.edge_kernel == "pallas":
-            use_edge_pallas = True
-        elif cfg.edge_kernel == "auto":
-            # measured on v5e (376x452 L=3 K=9 in-segment): fused kernel
-            # 21.3 ms/sweep vs 23.1 ms XLA (+8%) — same auto rule as the
-            # node kernel: Pallas on TPU, single chip or per-shard.
-            try:
-                use_edge_pallas = (
-                    jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-                    and (dist is not None or jax.device_count() == 1)
-                )
-            except Exception:
-                use_edge_pallas = False
-        elif cfg.edge_kernel != "xla":
-            raise ValueError(f"unknown edge_kernel {cfg.edge_kernel!r}")
+        and _pick_kernel(cfg.edge_kernel, "edge_kernel")
+    )
+
+    # Fused tensor-rule edge kernel (kernels/edge_gq.py): the K^2 2-D rule
+    # with the whole quadrature loop in VMEM. Opt-in only
+    # (edge_kernel="pallas"): the flagship path uses the reduced 1-D rule,
+    # and "auto" must not silently change the tensor path's cost profile.
+    use_edge_tensor_pallas = (
+        cfg.edge_quad == "tensor"
+        and cfg.edge_kind == "charbonnier"
+        and cfg.gradient_estimator != "autodiff"
+        and cfg.edge_kernel == "pallas"
+    )
 
     def sweep(problem: Problem, state: GQState) -> tuple[GQState, SweepAux]:
         if dist is None:
@@ -458,6 +463,13 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
                 )
             elif cfg.edge_quad == "reduced":
                 raw_e = gq_accumulate_diff(edge_fd, u1e, u2e, o1e, o2e, state.rou, tab1)
+                ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
+            elif use_edge_tensor_pallas:
+                from ..kernels.edge_gq import edge_gq_pallas
+
+                raw_e = edge_gq_pallas(
+                    u1e, u2e, o1e, o2e, state.rou, cfg.K, cfg.lambdas, cfg.epsn
+                )
                 ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
             else:
                 raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)

@@ -29,13 +29,34 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "results", "campaign")
 
 
+def done_runs():
+    """(tag, seq, seed) triples already recorded, for resumable campaigns."""
+    done = set()
+    path = os.path.join(OUT, "campaign.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    done.add((r["tag"], r["seq"], r.get("seed", 0)))
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    return done
+
+
 def run_one(tag, cfg, seq_name, scale=1.0, seed=0, log=None):
     from gqmap_tpu.io.dataset import crop_to_multiple, load_sequence
     from gqmap_tpu.models.gqmap import solve
 
     its = int(os.environ.get("GQMAP_CAMPAIGN_ITS", "0"))
-    if its:  # smoke-test override
+    if its:  # smoke-test override; tag marked so real runs aren't skipped
         cfg = dataclasses.replace(cfg, its=its, eval_every=min(cfg.eval_every, its))
+        tag = f"{tag}-smoke{its}"
+
+    if (tag, seq_name, seed) in done_runs():
+        print(f"skip {tag} {seq_name} seed={seed}: already in campaign.jsonl",
+              flush=True)
+        return None
     os.makedirs(OUT, exist_ok=True)
     seq = crop_to_multiple(load_sequence(seq_name, scale=scale), cfg.patch)
     t0 = time.time()
@@ -103,6 +124,8 @@ def main(stages=("A", "B", "C")):
 
     print("=== campaign summary ===")
     for r in results:
+        if r is None:
+            continue
         print(f"{r['tag']:14s} {r['seq']:10s} best AEPE {r['best_aepe']:.4f} "
               f"@{r['best_at']} ({r['ms_per_sweep']} ms/sweep)")
 
