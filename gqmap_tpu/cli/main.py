@@ -39,7 +39,8 @@ def _cfg_from_args(args) -> GQMAPConfig:
     cfg = PRESETS[args.preset]()
     over = {}
     for field in ("K", "L", "its", "lambdas", "lambdad", "temperature", "eval_every",
-                  "quad_chunk", "dtype", "seed", "data_term", "window_rg"):
+                  "quad_chunk", "dtype", "seed", "data_term", "window_rg",
+                  "cheb_p", "cheb_q"):
         v = getattr(args, field.lower(), None)
         if v is not None:
             over[field] = v
@@ -61,6 +62,10 @@ def _add_common(p):
     p.add_argument("--data-term", dest="data_term", default=None)
     p.add_argument("--window-rg", dest="window_rg", type=int, default=None,
                    help="overlapping data-cost window half-size (legacy/gqmap_cpuV2.m)")
+    p.add_argument("--cheb-p", dest="cheb_p", type=int, default=None,
+                   help="spectral u-degree for chebyshev/cosine data terms")
+    p.add_argument("--cheb-q", dest="cheb_q", type=int, default=None,
+                   help="spectral v-degree for chebyshev/cosine data terms")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--preprocessed", action="store_true")
     p.add_argument("--st-preprocess", action="store_true",
@@ -70,6 +75,30 @@ def _add_common(p):
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard the lattice over up to N devices (a (dp, x, y) "
+                        "jax.sharding.Mesh; GSPMD inserts halos/psums). "
+                        "Default: single device")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel axis size of the mesh (devices must "
+                        "be divisible by it)")
+
+
+def _mesh_and_crop(args, cfg):
+    """The (dp, x, y) mesh requested by --devices/--dp plus the (km, kn)
+    crop unit that makes the solver lattice divide it (GSPMD requires even
+    division; a near-square factorization is chosen and the ragged edge
+    cropped, instead of silently dropping devices on awkward shapes)."""
+    if getattr(args, "devices", None) is None:
+        return None, cfg.patch
+    from ..parallel import factor_2d, make_mesh
+
+    x, y = factor_2d(args.devices // args.dp)
+    mesh = make_mesh(args.devices, dp=args.dp)
+    if not args.quiet:
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"over {mesh.devices.size} device(s)")
+    return mesh, (cfg.patch * x, cfg.patch * y)
 
 
 def _fix_kl(args):
@@ -84,9 +113,10 @@ def cmd_run(args):
 
     _fix_kl(args)
     cfg = _cfg_from_args(args)
+    mesh, crop = _mesh_and_crop(args, cfg)
     seq = load_sequence(args.seq, scale=args.scale, preprocessed=args.preprocessed,
                         st_preprocess=args.st_preprocess)
-    seq = crop_to_multiple(seq, cfg.patch)
+    seq = crop_to_multiple(seq, crop)
     cb = None
     if args.out:
         from ..evals.metrics import MetricsLogger
@@ -109,6 +139,7 @@ def cmd_run(args):
         out_dir=args.out, verbose=not args.quiet, callback=cb,
         checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
         resume=args.resume, init_flow=init_flow, reset_at=args.reset_at,
+        mesh=mesh,
     )
     print(json.dumps({"seq": args.seq, "best_aepe": res.best_aepe, "iters": res.iters}))
     if args.out:
@@ -125,11 +156,12 @@ def cmd_suite(args):
 
     _fix_kl(args)
     cfg = _cfg_from_args(args)
+    mesh, crop = _mesh_and_crop(args, cfg)
     results = {}
     for name in args.seqs.split(","):
-        seq = crop_to_multiple(load_sequence(name.strip(), scale=args.scale), cfg.patch)
+        seq = crop_to_multiple(load_sequence(name.strip(), scale=args.scale), crop)
         res = solve(cfg, seq.img1, seq.img2, gt_flow=seq.gt_flow,
-                    verbose=not args.quiet)
+                    verbose=not args.quiet, mesh=mesh)
         results[name] = res.best_aepe
         print(f"{name}: best AEPE = {res.best_aepe:.4f}")
     avg = float(np.mean(list(results.values())))

