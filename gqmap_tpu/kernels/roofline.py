@@ -95,18 +95,25 @@ def measure_ceilings(dtype=jnp.float32):
     t = timed(stream, big, mulv, n1=64, n2=4160)
     stream_gbs = 3.0 * big.size * big.dtype.itemsize / max(t, 1e-9) / 1e9
 
-    # VPU elementwise rate (fused sqrt/mul/add chain, ~3 flops per op x 10)
+    # VPU mul/add rate: a pure FMA chain (a = a*b + c, 32 steps per element
+    # per iteration). The earlier sqrt/mul/add blend counted each sqrt as one
+    # flop and under-reported the ceiling enough that the cosine kernel
+    # measured >1.0 of "bound" (roofline_r03). The multiplier/addend are
+    # vectors so nothing hoists; 32 dependent steps amortize the 48 MB/iter
+    # stream far below the compute time.
     x = jax.random.uniform(key, (16 * 1024 * 1024 // 4,), dtype) + 0.5
+    bmul = jax.random.uniform(jax.random.PRNGKey(2), x.shape, dtype) * 1e-6 + 0.9
+    cadd = jax.random.uniform(jax.random.PRNGKey(3), x.shape, dtype) * 0.1
 
-    def chain(x0, n):
+    def fma_chain(x0, bb, cc, n):
         def body(i, a):
-            for _ in range(10):
-                a = jnp.sqrt(a * a + x0)
+            for _ in range(32):
+                a = a * bb + cc
             return a
         return jax.lax.fori_loop(0, n, body, x0).sum()
 
-    t = timed(chain, x, n1=256, n2=2304)
-    vpu_gflops = x.size * 30.0 / max(t, 1e-9) / 1e9
+    t = timed(fma_chain, x, bmul, cadd, n1=64, n2=576)
+    vpu_gflops = x.size * 64.0 / max(t, 1e-9) / 1e9
 
     # arbitrary-index gather rate (the bound on the exact bicubic term).
     # The index vector alternates between two PRECOMPUTED offset variants
