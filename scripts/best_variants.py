@@ -1,0 +1,164 @@
+"""Best-variant hunt on the headline sequences (VERDICT r2 item 4).
+
+The accuracy campaign reproduces the reference's own configurations; this
+script points the framework's STRONGER tools at Teddy/Cones (the hardest
+pairs — ~55 px stereo-style displacement, where the reference's full-res
+T=0 preset plateaus around AEPE 5.2) and records which variant wins:
+
+* ``super``  — tpu_fast_super: 1/4-res super lattice + entropy annealing
+               (the reference lineage's strongest family,
+               ``gqmap_gpuSuper_mix_entropy.m``), cosine degrees sized to
+               the sequence's displacement box.
+* ``bm``     — tpu_fast seeded by the block-matching cost-volume init
+               (``legacy/optical_flow_temp.m:13-32``) with the search
+               window sized to the GT range.
+* ``l1``     — tpu_fast with L=1 (the gqmap_gpuV2 rung of the hierarchy).
+* ``full``   — tpu_fast L=3 random init (the campaign's stage-A config;
+               read from campaign.jsonl, not re-run).
+* ``ctf``    — coarse-to-fine pyramid (``legacy/optical_flow_ctf.m``) with
+               cosine levels.
+
+Appends rows to results/campaign/variants.jsonl (resumable, same layout as
+campaign.jsonl).
+"""
+
+import dataclasses
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "results", "campaign")
+LOG = os.path.join(OUT, "variants.jsonl")
+
+
+def done_runs():
+    done = set()
+    if os.path.exists(LOG):
+        with open(LOG) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    done.add((r["tag"], r["seq"]))
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    return done
+
+
+def record(rec):
+    os.makedirs(OUT, exist_ok=True)
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def gt_ranges(seq):
+    from gqmap_tpu.ops.flowviz import flow_to_color
+
+    fc = flow_to_color(np.asarray(seq.gt_flow))
+    return fc.minu, fc.maxu, fc.minv, fc.maxv
+
+
+def run_solve(tag, cfg, seq_name, init_flow=None, seed=0):
+    from gqmap_tpu.io.dataset import crop_to_multiple, load_sequence
+    from gqmap_tpu.models.gqmap import solve
+
+    its = int(os.environ.get("GQMAP_CAMPAIGN_ITS", "0"))
+    if its:
+        cfg = dataclasses.replace(cfg, its=its, eval_every=min(cfg.eval_every, its))
+        tag = f"{tag}-smoke{its}"
+    if (tag, seq_name) in done_runs():
+        print(f"skip {tag} {seq_name}", flush=True)
+        return
+    seq = crop_to_multiple(load_sequence(seq_name), cfg.patch)
+    fl = init_flow(seq) if callable(init_flow) else init_flow
+    if fl is not None and cfg.patch > 1:
+        fl = fl[:: cfg.patch, :: cfg.patch]
+    t0 = time.time()
+    res = solve(cfg, seq.img1, seq.img2, gt_flow=seq.gt_flow, seed=seed,
+                init_flow=fl, verbose=False)
+    wall = time.time() - t0
+    evals = np.where(np.isfinite(res.AEPE))[0]
+    record(dict(
+        tag=tag, seq=seq_name, seed=seed,
+        best_aepe=float(res.best_aepe),
+        best_at=int(evals[np.nanargmin(res.AEPE[evals])]) + 1 if evals.size else None,
+        iters=int(res.iters), wall_s=round(wall, 1),
+        K=cfg.K, L=cfg.L, patch=cfg.patch, data_term=cfg.data_term,
+        cheb_p=cfg.cheb_p, cheb_q=cfg.cheb_q, lambdas=cfg.lambdas,
+        temperature=cfg.temperature, init="bm" if fl is not None else "random",
+    ))
+
+
+def run_ctf(tag, cfg, seq_name, seed=0):
+    from gqmap_tpu.io.dataset import crop_to_multiple, load_sequence
+    from gqmap_tpu.models.ctf import solve_coarse_to_fine
+
+    its = int(os.environ.get("GQMAP_CAMPAIGN_ITS", "0"))
+    if its:
+        cfg = dataclasses.replace(cfg, its=its, eval_every=min(cfg.eval_every, its))
+        tag = f"{tag}-smoke{its}"
+    if (tag, seq_name) in done_runs():
+        print(f"skip {tag} {seq_name}", flush=True)
+        return
+    seq = crop_to_multiple(load_sequence(seq_name), 8)  # pyramid-divisible
+    t0 = time.time()
+    res = solve_coarse_to_fine(cfg, seq.img1, seq.img2, seq.gt_flow, seed=seed)
+    wall = time.time() - t0
+    record(dict(
+        tag=tag, seq=seq_name, seed=seed, best_aepe=float(res.aepe),
+        best_at=None, iters=cfg.its * 4, wall_s=round(wall, 1),
+        K=cfg.K, L=cfg.L, patch=cfg.patch, data_term=cfg.data_term,
+        cheb_p=cfg.cheb_p, cheb_q=cfg.cheb_q, lambdas=cfg.lambdas,
+        temperature=cfg.temperature, init="pyramid",
+    ))
+
+
+def main(seqs=("Teddy", "Cones")):
+    from gqmap_tpu.config import GQMAPConfig
+    from gqmap_tpu.io.dataset import load_sequence
+    from gqmap_tpu.models.blockmatch import block_matching_init
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.jax_cache"))
+    for seq_name in seqs:
+        # cosine degrees from the GT displacement box, as in the campaign
+        minu, maxu, minv, maxv = gt_ranges(load_sequence(seq_name))
+        A, B = 192, 12  # Teddy/Cones: ~55 px u-range, ~0 v-range
+        if os.environ.get("GQMAP_VARIANTS_AB"):  # smoke-test override
+            A, B = map(int, os.environ["GQMAP_VARIANTS_AB"].split(","))
+
+        # the reference lineage's strongest family, on the headline pair
+        run_solve("super", GQMAPConfig.tpu_fast_super(
+            dtype="float32", cheb_p=A, cheb_q=B), seq_name)
+
+        # block-matching init with the search window covering the GT box
+        # (the legacy driver's fixed +-7 window cannot span stereo motion)
+        U = int(math.ceil(max(abs(minv), abs(maxv)))) + 2
+        V = int(math.ceil(max(abs(minu), abs(maxu)))) + 2
+
+        def bm(seq, U=U, V=V):
+            return block_matching_init(seq.img1, seq.img2, U=U, V=V)
+
+        run_solve("bm", GQMAPConfig.tpu_fast(
+            dtype="float32", cheb_p=A, cheb_q=B), seq_name, init_flow=bm)
+
+        # the L=1 rung of the reference's own hierarchy
+        run_solve("l1", GQMAPConfig.tpu_fast(
+            dtype="float32", cheb_p=A, cheb_q=B, L=1), seq_name)
+
+        # coarse-to-fine pyramid with cosine levels
+        run_ctf("ctf", GQMAPConfig.ctf_level(
+            dtype="float32", data_term="cosine", cheb_p=A, cheb_q=B,
+            edge_quad="reduced", quad_chunk=0), seq_name)
+
+
+if __name__ == "__main__":
+    main(tuple(sys.argv[1].split(",")) if len(sys.argv) > 1 else ("Teddy", "Cones"))
