@@ -110,12 +110,16 @@ def main(stages=("A", "B", "C")):
         # exact-vs-spectral A/B: same sequence, seed, iterations.
         # eval_every=100 keeps the bicubic segments (~0.5 s/sweep at 0.25
         # scale) under the tunneled runtime's program watchdog.
+        # Q=16 for both spectral terms (matched A/B): the Q=32 chebyshev
+        # in-segment program OOM-killed the remote compile helper (its mode
+        # loop python-unrolls a_block*Q bodies per scan step — cheb_ablock=4
+        # halves that too).
         base = dict(dtype="float32", its=2000, eval_every=100)
         for term, extra in (
             ("bicubic", dict(quad_chunk=27)),
             ("nearest", dict(quad_chunk=27, rfc=5)),
-            ("chebyshev", dict(cheb_p=96, cheb_q=32, quad_chunk=27)),
-            ("cosine", dict(cheb_p=96, cheb_q=32)),
+            ("chebyshev", dict(cheb_p=96, cheb_q=16, quad_chunk=27, cheb_ablock=4)),
+            ("cosine", dict(cheb_p=96, cheb_q=16)),
         ):
             cfg = GQMAPConfig.full_mixture(data_term=term, **base, **extra)
             if term in ("chebyshev", "cosine"):
