@@ -28,15 +28,43 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["cos_mode_sums_pallas", "cos_node_grads_pallas"]
 
 # Kernel variant used when callers don't ask for one explicitly. "v1" =
-# original two-exp body; "v2" = exp-lite + adaptive cutoff (_kernel_v2);
-# "v2_fixed" = v2 arithmetic without the cutoff. Flipped only on a hardware
-# measurement (scripts/cosine_variants.py / PERFORMANCE.md).
-_DEFAULT_VARIANT = "v1"
+# original fixed-trip two-exp body; "adaptive" = same body with the
+# tile-wide u-degree cutoff (measured on v5e, results/kernel_ab.jsonl:
+# identical converged-regime speed, 3.4-6.7x faster while sigma is wide;
+# the exp-lite "v2" arithmetic experiment recorded there LOST ~20% in the
+# converged regime — exp is cheap on this VPU, extra loop carries are not —
+# and was removed).
+_DEFAULT_VARIANT = "adaptive"
+
+
+def _adaptive_trip(s1, s2, a0, a_block, B, M, rows):
+    """Tile-wide outer-loop trip count for the adaptive u-degree cutoff.
+
+    Every mode weight obeys ``W± <= exp(-0.5 (a s1 - b s2)^2)`` (the cross
+    factor ``exp(-a b g±)`` is <= 1 since g± = s1 s2 (1 ∓ p) >= 0), so once
+    ``a s1 > (B-1) s2 + theta`` every remaining (a, b) term of the tile is
+    below ``e^{-theta^2/2}``; theta = 10 leaves a < e^-50 tail, invisible
+    even against the a²-weighted gradient sums. Ragged final row tiles
+    carry out-of-bounds garbage rows — masked out of the min/max, or the
+    cutoff could drop REAL modes.
+    """
+    dtype = s1.dtype
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
+        + pl.program_id(0) * rows
+    ) < M
+    theta = jnp.asarray(10.0, dtype)
+    s1_min = jnp.min(jnp.where(valid, s1, jnp.asarray(jnp.inf, dtype)))
+    s2_max = jnp.max(jnp.where(valid, s2, jnp.asarray(0.0, dtype)))
+    a_cut = ((B - 1.0) * s2_max + theta) / jnp.maximum(
+        s1_min, jnp.asarray(1e-20, dtype)
+    )
+    return jnp.clip(jnp.ceil(a_cut).astype(jnp.int32) + 1 - a0, 0, a_block)
 
 
 def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
             e0_ref, a1_ref, a2_ref, aa_ref, ab_ref, ax_ref,
-            *, a_block: int, B: int):
+            *, a_block: int, B: int, adaptive: bool, M: int, rows: int):
     dtype = ph1_ref.dtype
 
     # Phases/scales are precomputed outside (ph = k*(mu - lo), s = k*sigma)
@@ -55,8 +83,14 @@ def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
     c2, sn2 = jnp.cos(ph2), jnp.sin(ph2)
 
     ia = pl.program_id(1)
-    a0f = (ia * a_block).astype(dtype)
+    a0 = ia * a_block
+    a0f = a0.astype(dtype)
     ca, sa = jnp.cos(a0f * ph1), jnp.sin(a0f * ph1)
+
+    if adaptive:
+        trip = _adaptive_trip(s1, s2, a0, a_block, B, M, rows)
+    else:
+        trip = a_block
 
     zeros = jnp.zeros_like(ph1)
     ones = jnp.ones_like(ph1)
@@ -115,159 +149,7 @@ def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
         )
 
     init = (ca, sa, zeros, zeros, zeros, zeros, zeros, zeros)
-    _, _, E0, A1, A2, Aa, Ab, Ax = jax.lax.fori_loop(0, a_block, a_body, init)
-
-    @pl.when(ia == 0)
-    def _init():
-        e0_ref[0] = E0
-        a1_ref[0] = A1
-        a2_ref[0] = A2
-        aa_ref[0] = Aa
-        ab_ref[0] = Ab
-        ax_ref[0] = Ax
-
-    @pl.when(ia != 0)
-    def _acc():
-        e0_ref[0] += E0
-        a1_ref[0] += A1
-        a2_ref[0] += A2
-        aa_ref[0] += Aa
-        ab_ref[0] += Ab
-        ax_ref[0] += Ax
-
-
-def _kernel_v2(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
-               e0_ref, a1_ref, a2_ref, aa_ref, ab_ref, ax_ref,
-               *, a_block: int, B: int, adaptive: bool, M: int, rows: int):
-    """Exp-lite variant of :func:`_kernel` (identical math, fewer VPU ops).
-
-    Three changes vs v1, each exploiting structure of the characteristic-
-    function exponent ``-0.5(a s1 - b s2)^2 - a b g±``:
-
-    * ONE exp per mode instead of two: the joint exponent splits into the
-      shared Gaussian ``G = exp(-0.5 m^2)`` (one exp) and the cross factors
-      ``exp(-a b g±) = (e^{-a g±})^b`` maintained by per-``b`` multiplies.
-      Both split factors are <= 1 individually (g± = s1 s2 (1 ∓ p) >= 0),
-      so the recurrences only decay — no overflow, unlike the naive
-      ``Eu·Ev·e^{+ab s1 s2 p}`` factorization.
-    * three-term Chebyshev recurrences for cos/sin of both mode angles
-      (``c_{k+1} = 2c_1 c_k - c_{k-1}``): 4 flops per axis step vs the
-      6-flop rotation.
-    * optional adaptive mode cutoff (``adaptive=True``): W± <=
-      exp(-0.5 (a s1 - b s2)^2), so once ``a s1 > (B-1) s2 + theta`` every
-      remaining (a, b) term is < e^{-theta^2/2} for the whole tile; with
-      theta = 10 (e^{-50}) the outer loop trip count is clipped at
-      ``ceil(((B-1) max s2 + theta) / min s1)`` — early sweeps (sigma
-      large) touch a fraction of the u-degree axis at full accuracy.
-    """
-    dtype = ph1_ref.dtype
-    ph1 = ph1_ref[0]
-    ph2 = ph2_ref[0]
-    s1 = s1_ref[0]
-    s2 = s2_ref[0]
-    p = p_ref[0]
-
-    gm = s1 * s2 * (1.0 - p)
-    gp = s1 * s2 * (1.0 + p)
-    c1, sn1 = jnp.cos(ph1), jnp.sin(ph1)
-    c2, sn2 = jnp.cos(ph2), jnp.sin(ph2)
-    tc1 = 2.0 * c1
-    tc2 = 2.0 * c2
-    em = jnp.exp(-gm)
-    ep = jnp.exp(-gp)
-
-    ia = pl.program_id(1)
-    a0 = ia * a_block
-    a0f = a0.astype(dtype)
-    ca, sa = jnp.cos(a0f * ph1), jnp.sin(a0f * ph1)
-    am1 = a0f * ph1 - ph1
-    cam1, sam1 = jnp.cos(am1), jnp.sin(am1)
-    ym = jnp.exp(-a0f * gm)
-    yp = jnp.exp(-a0f * gp)
-
-    if adaptive:
-        # tile-wide trip clip; per-site bound decoupled conservatively.
-        # Ragged final row tiles carry out-of-bounds garbage rows — mask
-        # them out of the min/max or the cutoff can drop REAL modes.
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
-            + pl.program_id(0) * rows
-        ) < M
-        theta = jnp.asarray(10.0, dtype)
-        s1_min = jnp.min(jnp.where(valid, s1, jnp.asarray(jnp.inf, dtype)))
-        s2_max = jnp.max(jnp.where(valid, s2, jnp.asarray(0.0, dtype)))
-        a_cut = ((B - 1.0) * s2_max + theta) / jnp.maximum(
-            s1_min, jnp.asarray(1e-20, dtype)
-        )
-        trip = jnp.clip(jnp.ceil(a_cut).astype(jnp.int32) + 1 - a0, 0, a_block)
-    else:
-        trip = a_block
-
-    zeros = jnp.zeros_like(ph1)
-    ones = jnp.ones_like(ph1)
-
-    def a_body(j, carry):
-        ca, sa, cam1, sam1, ym, yp, E0, A1, A2, Aa, Ab, Ax = carry
-        af = a0f + j.astype(dtype)
-        as1 = af * s1
-
-        def b_body(b, c):
-            cb, sb, cbm1, sbm1, m, zm, zp, sE, sEb, sP, sPm, sXb = c
-            bf = b.astype(dtype)
-            G = jnp.exp(-0.5 * (m * m))
-            Wm = G * zm
-            Wp = G * zp
-            t1 = ca * cb
-            t2 = sa * sb
-            t3 = sa * cb
-            t4 = ca * sb
-            cab = c_ref[0, j, b]
-            cWm = cab * Wm
-            cWp = cab * Wp
-            cU = cWm * (t1 + t2)
-            cV = cWp * (t1 - t2)
-            cP = cWm * (t3 - t4)
-            cQ = cWp * (t3 + t4)
-            uv = cU + cV
-            return (
-                tc2 * cb - cbm1,
-                tc2 * sb - sbm1,
-                cb,
-                sb,
-                m - s2,
-                zm * ym,
-                zp * yp,
-                sE + uv,
-                sEb + (bf * bf) * uv,
-                sP + (cP + cQ),
-                sPm + bf * (cP - cQ),
-                sXb + bf * (cU - cV),
-            )
-
-        init = (ones, zeros, c2, -sn2, as1, ones, ones,
-                zeros, zeros, zeros, zeros, zeros)
-        _, _, _, _, _, _, _, sE, sEb, sP, sPm, sXb = jax.lax.fori_loop(
-            0, B, b_body, init
-        )
-        return (
-            tc1 * ca - cam1,
-            tc1 * sa - sam1,
-            ca,
-            sa,
-            ym * em,
-            yp * ep,
-            E0 + sE,
-            A1 + af * sP,
-            A2 + sPm,
-            Aa + (af * af) * sE,
-            Ab + sEb,
-            Ax + af * sXb,
-        )
-
-    init = (ca, sa, cam1, sam1, ym, yp,
-            zeros, zeros, zeros, zeros, zeros, zeros)
-    out = jax.lax.fori_loop(0, trip, a_body, init)
-    E0, A1, A2, Aa, Ab, Ax = out[6:]
+    _, _, E0, A1, A2, Aa, Ab, Ax = jax.lax.fori_loop(0, trip, a_body, init)
 
     @pl.when(ia == 0)
     def _init():
@@ -299,9 +181,9 @@ def cos_mode_sums_pallas(
     lattice tile's six output blocks accumulate in VMEM across coefficient
     blocks (one coefficient DMA stream, one output write per tile).
 
-    ``variant``: ``"v1"`` (original two-exp mode body), ``"v2"``
-    (exp-lite + Chebyshev recurrences + adaptive u-degree cutoff, see
-    :func:`_kernel_v2`), or None for the module default ``_DEFAULT_VARIANT``.
+    ``variant``: ``"v1"`` (fixed trip count), ``"adaptive"`` (tile-wide
+    u-degree cutoff, :func:`_adaptive_trip`), or None for the module
+    default ``_DEFAULT_VARIANT``.
     """
     coeffs = cos.coeffs
     variant = _DEFAULT_VARIANT if variant is None else variant
@@ -338,13 +220,10 @@ def cos_mode_sums_pallas(
     out_spec = state_spec
     out_shape = [jax.ShapeDtypeStruct((1, L, M, N), dtype)] * 6
 
-    if variant == "v1":
-        body = functools.partial(_kernel, a_block=a_block, B=B)
-    elif variant in ("v2", "v2_fixed"):
-        body = functools.partial(_kernel_v2, a_block=a_block, B=B,
-                                 adaptive=variant == "v2", M=M, rows=rows)
-    else:
+    if variant not in ("v1", "adaptive"):
         raise ValueError(f"unknown cosine kernel variant {variant!r}")
+    body = functools.partial(_kernel, a_block=a_block, B=B,
+                             adaptive=variant == "adaptive", M=M, rows=rows)
     fn = pl.pallas_call(
         body,
         grid=grid,

@@ -69,7 +69,7 @@ def main():
             sigmav=jnp.full_like(wide.sigmav, 0.05),
         )
         for regime, state in (("wide", wide), ("converged", conv)):
-            for variant in ("v1", "v2", "v2_fixed"):
+            for variant in ("v1", "adaptive"):
                 t = bench_variant(problem, state, cfg.cheb_ablock, variant)
                 rows.append(dict(workload=label, regime=regime,
                                  variant=variant, ms=round(t * 1e3, 3)))

@@ -44,23 +44,22 @@ def test_node_grads_match_xla():
         )
 
 
-def test_mode_sums_v2_matches_v1():
-    # exp-lite + Chebyshev-recurrence variant: identical math, different
-    # evaluation order — parity to fp roundoff against both v1 and XLA
+def test_mode_sums_adaptive_matches_v1():
+    # the adaptive variant runs the identical mode body; where the cutoff
+    # does not engage the sums must match v1/XLA to fp roundoff
     cos = _toy_cosdata(A=20, B=6, M=16, N=24, seed=7)
     u1, u2, o1, o2, p = _rand_sites(M=16, N=24, L=3, seed=8, sig_hi=2.0)
     want, _ = _mode_sums(cos, u1, u2, o1, o2, p, a_block=8, want_grads=True)
-    for variant in ("v2", "v2_fixed"):
-        got = cos_mode_sums_pallas(cos, u1, u2, o1, o2, p, a_block=8, rows=8,
-                                   interpret=True, variant=variant)
-        for g, w, name in zip(got, want, ("E0", "A1", "A2", "Aa", "Ab", "Ax")):
-            np.testing.assert_allclose(
-                np.asarray(g), np.asarray(w), rtol=1e-9, atol=1e-9,
-                err_msg=f"{variant}:{name}",
-            )
+    got = cos_mode_sums_pallas(cos, u1, u2, o1, o2, p, a_block=8, rows=8,
+                               interpret=True, variant="adaptive")
+    for g, w, name in zip(got, want, ("E0", "A1", "A2", "Aa", "Ab", "Ax")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-9, atol=1e-9,
+            err_msg=name,
+        )
 
 
-def test_mode_sums_v2_adaptive_cutoff_truncates_safely():
+def test_mode_sums_adaptive_cutoff_truncates_safely():
     # big sigmas => the e^{-theta^2/2} cutoff clips most of the u-degree
     # axis; the truncated tail is analytically < e^-50, so parity with the
     # untruncated XLA sums must still hold to fp roundoff
@@ -69,20 +68,22 @@ def test_mode_sums_v2_adaptive_cutoff_truncates_safely():
     o1 = o1 + 2.0  # push sigma up so the cutoff engages well below A
     want, _ = _mode_sums(cos, u1, u2, o1, o2, p, a_block=8, want_grads=True)
     got = cos_mode_sums_pallas(cos, u1, u2, o1, o2, p, a_block=8, rows=8,
-                               interpret=True, variant="v2")
+                               interpret=True, variant="adaptive")
     for g, w, name in zip(got, want, ("E0", "A1", "A2", "Aa", "Ab", "Ax")):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=1e-9, atol=1e-9, err_msg=name
         )
 
 
-def test_node_grads_v2_ragged():
+def test_node_grads_adaptive_ragged():
+    # ragged M (OOB rows in the last tile) + adaptive cutoff: the masked
+    # min/max must keep every real mode (this failed before the mask)
     cos = _toy_cosdata(A=13, B=5, M=12, N=16, seed=9)
     u1, u2, o1, o2, p = _rand_sites(M=12, N=16, L=2, seed=10, sig_hi=1.5)
     a = jnp.ones((2, 1, 1)) / 2.0
     want = cos_node_grads(cos, u1, u2, o1, o2, p, a, 0.25, NODE)
     got = cos_node_grads_pallas(cos, u1, u2, o1, o2, p, a, 0.25, NODE,
-                                a_block=4, interpret=True, variant="v2")
+                                a_block=4, interpret=True, variant="adaptive")
     for g, w, name in zip(got, want, want._fields):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=1e-8, atol=1e-10, err_msg=name
