@@ -181,7 +181,12 @@ def sweep_roofline(image_shape=(376, 452), seed=0,
                 dtype="float32", quad_chunk=27, data_term=mode, cheb_p=96, cheb_q=16
             )
         problem = make_problem(cfg, I1, I2, fr)
+        # converged-sigma state: the steady-state regime the bounds model —
+        # at wide (init) sigma the adaptive cosine kernel skips most modes
+        # and "efficiency vs full-mode bound" would exceed 1 meaninglessly
         state = init_state(cfg, fr, I1.shape)
+        state = state._replace(sigmau=jnp.full_like(state.sigmau, 0.05),
+                               sigmav=jnp.full_like(state.sigmav, 0.05))
         fn = jax.jit(make_sweep(cfg, I1.shape))
         s, aux = fn(problem, state)
         float(aux.energy)
@@ -244,7 +249,11 @@ def flagship_roofline(image_shape=(376, 452), seed=0, A=96, B=16, ceilings=None)
 
     cfg = GQMAPConfig.tpu_fast(dtype="float32", cheb_p=A, cheb_q=B)
     problem = make_problem(cfg, I1, I2, fr)
+    # converged-sigma state (see sweep_roofline): the fractions compare
+    # against full-mode bounds, so measure the regime where all modes run
     state = init_state(cfg, fr, I1.shape)
+    state = state._replace(sigmau=jnp.full_like(state.sigmau, 0.05),
+                           sigmav=jnp.full_like(state.sigmav, 0.05))
     L = cfg.L
     sites = L * M * N
     modes = A * B
@@ -259,9 +268,13 @@ def flagship_roofline(image_shape=(376, 452), seed=0, A=96, B=16, ceilings=None)
 
     def kloop(ch, s, n):
         def body(i, acc):
+            # variant="v1": the bound below counts ALL A*B modes, so the
+            # measured kernel must run all of them too — the adaptive
+            # cutoff would make fraction_of_bound meaningless at wide sigma
+            # (its gain is recorded separately in results/kernel_ab.jsonl).
             outs = cos_mode_sums_pallas(
                 ch, s.muu + acc, s.muv, s.sigmau, s.sigmav, s.pn,
-                a_block=cfg.cheb_ablock,
+                a_block=cfg.cheb_ablock, variant="v1",
             )
             # serialize iterations through a value that is always ~0
             return outs[0].ravel()[0] * jnp.asarray(1e-30, s.muu.dtype)
