@@ -49,14 +49,16 @@ def previous_best():
     # Resolve against this script's directory, NOT the cwd: the driver runs
     # bench.py from an arbitrary working directory, and a cwd-relative glob
     # silently found nothing in round 2 (vs_baseline came out 1.0 despite a
-    # committed BENCH_r01.json).
+    # committed BENCH_r01.json). The driver's BENCH_r*.json wraps our JSON
+    # line under "parsed" (alongside cmd/rc/tail) — read that, falling back
+    # to a top-level "value" for hand-written records.
     best = None
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as f:
                 rec = json.load(f)
-            v = rec.get("value")
+            v = rec.get("value", rec.get("parsed", {}).get("value"))
             if isinstance(v, (int, float)) and (best is None or v > best):
                 best = float(v)
         except Exception:
@@ -64,12 +66,21 @@ def previous_best():
     return best
 
 
-def measure(data_term: str, warm: int = 10, seg_len: int = 300):
+def measure(data_term: str, warm: int = 10, seg_len: int = 300, steady: bool = False):
     """Per-sweep throughput of the PRODUCTION path: the on-device segment
     runner (one ``lax.while_loop`` per eval cadence, exactly how ``solve``
     executes — ``gqmap_gpu_mixture.m:52``'s mod-300 eval). Measuring
     per-call ``jit(sweep)`` dispatch instead under-reports by ~25% on the
-    tunneled runtime (~7 ms dispatch per call at flagship scale)."""
+    tunneled runtime (~7 ms dispatch per call at flagship scale).
+
+    ``steady=False`` measures sweeps ``warm..warm+seg_len`` from random init
+    (identical procedure to rounds 1-2, so ``vs_baseline`` is like-for-like);
+    there sigma is at its init scale and the adaptive u-degree cutoff of the
+    cosine kernel engages. ``steady=True`` pins sigma to 0.05 (the converged
+    regime, same definition as ``scripts/kernel_ab.py``) where the cutoff
+    cannot engage — the late-run floor of a 30000-iteration solve."""
+    import jax.numpy as jnp
+
     from gqmap_tpu.config import GQMAPConfig
     from gqmap_tpu.models.gqmap import init_state, make_problem, make_segment_runner
 
@@ -80,6 +91,11 @@ def measure(data_term: str, warm: int = 10, seg_len: int = 300):
     )
     problem = make_problem(cfg, I1, I2, fr)
     state = init_state(cfg, fr, I1.shape)
+    if steady:
+        state = state._replace(
+            sigmau=jnp.full_like(state.sigmau, 0.05),
+            sigmav=jnp.full_like(state.sigmav, 0.05),
+        )
     seg = make_segment_runner(cfg, I1.shape)
 
     st, n, eb, *_ = seg(problem, state, warm)
@@ -98,10 +114,12 @@ def main():
     # loudly, not masquerade as a throughput drop under another data term.
     # Retries (same mode) absorb transient tunneled-runtime flakes.
     mode = "cosine"
-    value = None
+    value = steady = None
     for attempt in range(3):
         try:
-            value = measure(mode)
+            if value is None:
+                value = measure(mode)
+            steady = measure(mode, steady=True)
             break
         except Exception:
             if attempt == 2:
@@ -116,6 +134,11 @@ def main():
                 "unit": "Mpixel-sweeps/s/chip",
                 "vs_baseline": round(value / prev, 3) if prev else 1.0,
                 "mode": mode,
+                # Converged-regime floor (sigma=0.05: adaptive cutoff off).
+                # `value` follows the rounds-1/2 procedure (sweeps 10-310
+                # from init) so vs_baseline stays like-for-like; a full
+                # 30000-iteration solve runs between these two rates.
+                "steady_state": round(steady, 3),
             }
         )
     )
