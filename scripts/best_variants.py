@@ -128,36 +128,61 @@ def main(seqs=("Teddy", "Cones")):
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.jax_cache"))
+    # Variant-major priority order so a wall-clock-limited session records
+    # the cheapest/highest-value rows first; every row logs its real `iters`.
+    # bm/l1 at the full 30000-iteration reference budget cost ~20 min each
+    # on one v5e; GQMAP_VARIANTS_FULLRES_ITS caps them honestly (the init
+    # advantage shows up early — a capped run is a valid "reaches X by N").
+    fullres_its = int(os.environ.get("GQMAP_VARIANTS_FULLRES_ITS", "0"))
+
+    degrees, bm_windows = {}, {}
     for seq_name in seqs:
         # cosine degrees from the GT displacement box, as in the campaign
         minu, maxu, minv, maxv = gt_ranges(load_sequence(seq_name))
         A, B = 192, 12  # Teddy/Cones: ~55 px u-range, ~0 v-range
         if os.environ.get("GQMAP_VARIANTS_AB"):  # smoke-test override
             A, B = map(int, os.environ["GQMAP_VARIANTS_AB"].split(","))
+        degrees[seq_name] = (A, B)
+        # block-matching search window covering the GT box (the legacy
+        # driver's fixed +-7 window cannot span stereo motion)
+        bm_windows[seq_name] = (
+            int(math.ceil(max(abs(minv), abs(maxv)))) + 2,
+            int(math.ceil(max(abs(minu), abs(maxu)))) + 2,
+        )
 
-        # the reference lineage's strongest family, on the headline pair
+    # 1) the reference lineage's strongest family, on the headline pair
+    for seq_name in seqs:
+        A, B = degrees[seq_name]
         run_solve("super", GQMAPConfig.tpu_fast_super(
             dtype="float32", cheb_p=A, cheb_q=B), seq_name)
 
-        # block-matching init with the search window covering the GT box
-        # (the legacy driver's fixed +-7 window cannot span stereo motion)
-        U = int(math.ceil(max(abs(minv), abs(maxv)))) + 2
-        V = int(math.ceil(max(abs(minu), abs(maxu)))) + 2
+    # 2) coarse-to-fine pyramid with cosine levels
+    for seq_name in seqs:
+        A, B = degrees[seq_name]
+        run_ctf("ctf", GQMAPConfig.ctf_level(
+            dtype="float32", data_term="cosine", cheb_p=A, cheb_q=B,
+            edge_quad="reduced", quad_chunk=0), seq_name)
+
+    # 3) block-matching init for the full-res mixture
+    for seq_name in seqs:
+        A, B = degrees[seq_name]
+        U, V = bm_windows[seq_name]
+        cfg = GQMAPConfig.tpu_fast(dtype="float32", cheb_p=A, cheb_q=B)
+        if fullres_its:
+            cfg = dataclasses.replace(cfg, its=fullres_its)
 
         def bm(seq, U=U, V=V):
             return block_matching_init(seq.img1, seq.img2, U=U, V=V)
 
-        run_solve("bm", GQMAPConfig.tpu_fast(
-            dtype="float32", cheb_p=A, cheb_q=B), seq_name, init_flow=bm)
+        run_solve("bm", cfg, seq_name, init_flow=bm)
 
-        # the L=1 rung of the reference's own hierarchy
-        run_solve("l1", GQMAPConfig.tpu_fast(
-            dtype="float32", cheb_p=A, cheb_q=B, L=1), seq_name)
-
-        # coarse-to-fine pyramid with cosine levels
-        run_ctf("ctf", GQMAPConfig.ctf_level(
-            dtype="float32", data_term="cosine", cheb_p=A, cheb_q=B,
-            edge_quad="reduced", quad_chunk=0), seq_name)
+    # 4) the L=1 rung of the reference's own hierarchy
+    for seq_name in seqs:
+        A, B = degrees[seq_name]
+        cfg = GQMAPConfig.tpu_fast(dtype="float32", cheb_p=A, cheb_q=B, L=1)
+        if fullres_its:
+            cfg = dataclasses.replace(cfg, its=fullres_its)
+        run_solve("l1", cfg, seq_name)
 
 
 if __name__ == "__main__":
