@@ -37,15 +37,15 @@ __all__ = ["cos_mode_sums_pallas", "cos_node_grads_pallas"]
 _DEFAULT_VARIANT = "adaptive"
 
 
-def _adaptive_trip(s1, s2, a0, a_block, B, M, rows):
+def _adaptive_trip(s1, s2, a0, a_block, B, M, rows, N, cols):
     """Tile-wide outer-loop trip count for the adaptive u-degree cutoff.
 
     Every mode weight obeys ``W± <= exp(-0.5 (a s1 - b s2)^2)`` (the cross
     factor ``exp(-a b g±)`` is <= 1 since g± = s1 s2 (1 ∓ p) >= 0), so once
     ``a s1 > (B-1) s2 + theta`` every remaining (a, b) term of the tile is
     below ``e^{-theta^2/2}``; theta = 10 leaves a < e^-50 tail, invisible
-    even against the a²-weighted gradient sums. Ragged final row tiles
-    carry out-of-bounds garbage rows — masked out of the min/max, or the
+    even against the a²-weighted gradient sums. Ragged final row/col tiles
+    carry out-of-bounds garbage lanes — masked out of the min/max, or the
     cutoff could drop REAL modes.
     """
     dtype = s1.dtype
@@ -53,6 +53,11 @@ def _adaptive_trip(s1, s2, a0, a_block, B, M, rows):
         jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
         + pl.program_id(0) * rows
     ) < M
+    if cols != N:
+        valid &= (
+            jax.lax.broadcasted_iota(jnp.int32, s1.shape, 2)
+            + pl.program_id(1) * cols
+        ) < N
     theta = jnp.asarray(10.0, dtype)
     s1_min = jnp.min(jnp.where(valid, s1, jnp.asarray(jnp.inf, dtype)))
     s2_max = jnp.max(jnp.where(valid, s2, jnp.asarray(0.0, dtype)))
@@ -64,8 +69,11 @@ def _adaptive_trip(s1, s2, a0, a_block, B, M, rows):
 
 def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
             e0_ref, a1_ref, a2_ref, aa_ref, ab_ref, ax_ref,
-            *, a_block: int, B: int, adaptive: bool, M: int, rows: int):
+            *, a_block: int, B: int, adaptive: bool, M: int, rows: int,
+            N: int, cols: int, unroll_b: int):
     dtype = ph1_ref.dtype
+    # With lane tiling the u-degree grid axis moves from 1 to 2.
+    ia_axis = 1 if cols == N else 2
 
     # Phases/scales are precomputed outside (ph = k*(mu - lo), s = k*sigma)
     # so the kernel needs no scalar box bounds — CosData stays a traceable
@@ -82,13 +90,13 @@ def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
     c1, sn1 = jnp.cos(ph1), jnp.sin(ph1)
     c2, sn2 = jnp.cos(ph2), jnp.sin(ph2)
 
-    ia = pl.program_id(1)
+    ia = pl.program_id(ia_axis)
     a0 = ia * a_block
     a0f = a0.astype(dtype)
     ca, sa = jnp.cos(a0f * ph1), jnp.sin(a0f * ph1)
 
     if adaptive:
-        trip = _adaptive_trip(s1, s2, a0, a_block, B, M, rows)
+        trip = _adaptive_trip(s1, s2, a0, a_block, B, M, rows, N, cols)
     else:
         trip = a_block
 
@@ -136,7 +144,30 @@ def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
             )
 
         init = (ones, zeros, as1, zeros, zeros, zeros, zeros, zeros)
-        _, _, _, sE, sEb, sP, sPm, sXb = jax.lax.fori_loop(0, B, b_body, init)
+        if unroll_b <= 1:
+            _, _, _, sE, sEb, sP, sPm, sXb = jax.lax.fori_loop(
+                0, B, b_body, init
+            )
+        elif unroll_b >= B:
+            # Mosaic's fori lowering only accepts unroll=1 or =num_steps.
+            _, _, _, sE, sEb, sP, sPm, sXb = jax.lax.fori_loop(
+                0, B, b_body, init, unroll=B
+            )
+        else:
+            # Partial unroll by hand: carries cross the fori boundary (and
+            # thus may spill) only once per unroll_b iterations.
+            if B % unroll_b:
+                raise ValueError("unroll_b must divide B")
+
+            def chunk(jc, c):
+                b0 = jc * unroll_b
+                for k in range(unroll_b):
+                    c = b_body(b0 + k, c)
+                return c
+
+            _, _, _, sE, sEb, sP, sPm, sXb = jax.lax.fori_loop(
+                0, B // unroll_b, chunk, init
+            )
         return (
             ca * c1 - sa * sn1,
             sa * c1 + ca * sn1,
@@ -172,18 +203,33 @@ def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
 
 def cos_mode_sums_pallas(
     cos, u1, u2, o1, o2, p,
-    a_block: int = 8, rows: int = 8, interpret: bool = False,
+    a_block: int | None = None, rows: int = 8, interpret: bool = False,
     variant: str | None = None,
+    cols: int | str | None = "auto", unroll_b: int | None = None,
 ):
     """Six cosine mode sums over ``(L, M, N)`` state (see ops/cosine.py).
 
-    Grid: ``(M/rows, A/a_block)`` — the u-degree axis is innermost so each
-    lattice tile's six output blocks accumulate in VMEM across coefficient
-    blocks (one coefficient DMA stream, one output write per tile).
+    Grid: ``(M/rows[, N/cols], A/a_block)`` — the u-degree axis is innermost
+    so each lattice tile's six output blocks accumulate in VMEM across
+    coefficient blocks (one coefficient DMA stream, one output write per
+    tile).
 
     ``variant``: ``"v1"`` (fixed trip count), ``"adaptive"`` (tile-wide
     u-degree cutoff, :func:`_adaptive_trip`), or None for the module
     default ``_DEFAULT_VARIANT``.
+
+    The loop body's 8 loop-carried accumulators span ceil(L*rows*cols/1024)
+    VREGs each; at the full-row tile they overflow the VPU register file
+    and spill through VMEM every iteration (measured 2.8-3.2x slowdown,
+    results/kernel_tune.jsonl). Defaults are the tuned spill-free shape:
+
+    * ``cols="auto"`` — lane-tile the N axis at 128 so each carry spans
+      L VREGs (explicit int must be a multiple of 128; None = full axis);
+    * ``unroll_b=None`` — fully unroll the inner v-degree loop so carries
+      never cross a loop-backedge inside a tile row (int: partial unroll,
+      must divide B; Mosaic only honours full fori unrolling natively);
+    * ``a_block=None`` — the tuned uniform sweet spot (24; see the auto
+      rule below for the measured rationale).
     """
     coeffs = cos.coeffs
     variant = _DEFAULT_VARIANT if variant is None else variant
@@ -204,26 +250,52 @@ def cos_mode_sums_pallas(
     rows = min(rows, M)
     if M % rows and rows % 8:
         rows = min(8, M) if M >= 8 else M
+    if cols == "auto":
+        cols = 128 if N > 128 else None
+    cols = N if cols is None else min(cols, N)
+    if cols != N and cols % 128:
+        raise ValueError("cols must be a multiple of 128 (or the full axis)")
+    if a_block is None:
+        # Tuned on v5e (results/kernel_tune.jsonl): 24 is within 4% of the
+        # per-shape best on both flagship (96x16) and campaign (192x12)
+        # shapes; larger blocks hit a >1.5x cliff at 192x12 (a_block=40)
+        # while staying flat at 96x16 — no clean VMEM-bytes rule fits both,
+        # so use the uniform empirical sweet spot.
+        a_block = min(A, 24)
+    if unroll_b is None:
+        unroll_b = B
     nA = -(-A // a_block)
     if nA * a_block != A:
         coeffs = jnp.pad(coeffs, ((0, nA * a_block - A), (0, 0), (0, 0), (0, 0)))
     cblocks = coeffs.reshape(nA, a_block, B, M, N)
-
-    grid = (-(-M // rows), nA)
-    state_spec = pl.BlockSpec(
-        (1, L, rows, N), lambda im, ia: (0, 0, im, 0), memory_space=pltpu.VMEM
-    )
-    coeff_spec = pl.BlockSpec(
-        (1, a_block, B, rows, N), lambda im, ia: (ia, 0, 0, im, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if cols == N:
+        grid = (-(-M // rows), nA)
+        state_spec = pl.BlockSpec(
+            (1, L, rows, N), lambda im, ia: (0, 0, im, 0),
+            memory_space=pltpu.VMEM,
+        )
+        coeff_spec = pl.BlockSpec(
+            (1, a_block, B, rows, N), lambda im, ia: (ia, 0, 0, im, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        grid = (-(-M // rows), -(-N // cols), nA)
+        state_spec = pl.BlockSpec(
+            (1, L, rows, cols), lambda im, ic, ia: (0, 0, im, ic),
+            memory_space=pltpu.VMEM,
+        )
+        coeff_spec = pl.BlockSpec(
+            (1, a_block, B, rows, cols), lambda im, ic, ia: (ia, 0, 0, im, ic),
+            memory_space=pltpu.VMEM,
+        )
     out_spec = state_spec
     out_shape = [jax.ShapeDtypeStruct((1, L, M, N), dtype)] * 6
 
     if variant not in ("v1", "adaptive"):
         raise ValueError(f"unknown cosine kernel variant {variant!r}")
     body = functools.partial(_kernel, a_block=a_block, B=B,
-                             adaptive=variant == "adaptive", M=M, rows=rows)
+                             adaptive=variant == "adaptive", M=M, rows=rows,
+                             N=N, cols=cols, unroll_b=unroll_b)
     fn = pl.pallas_call(
         body,
         grid=grid,
@@ -238,15 +310,16 @@ def cos_mode_sums_pallas(
 
 def cos_node_grads_pallas(
     cos, u1, u2, o1, o2, p, a, T, entropy_scale: float,
-    a_block: int = 8, rows: int = 8, interpret: bool = False,
+    a_block: int | None = None, rows: int = 8, interpret: bool = False,
     variant: str | None = None,
+    cols: int | str | None = "auto", unroll_b: int | None = None,
 ):
     """Drop-in Pallas replacement for :func:`gqmap_tpu.ops.cosine.cos_node_grads`."""
     from ..ops.cosine import _finalize_mode_sums
 
     E0, A1, A2, Aa, Ab, Ax = cos_mode_sums_pallas(
         cos, u1, u2, o1, o2, p, a_block=a_block, rows=rows, interpret=interpret,
-        variant=variant,
+        variant=variant, cols=cols, unroll_b=unroll_b,
     )
     return _finalize_mode_sums(
         cos, (E0, A1, A2, Aa, Ab, Ax), u1, o1, o2, p, a, T, entropy_scale

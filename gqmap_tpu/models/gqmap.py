@@ -429,10 +429,13 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
                 if use_pallas:
                     from ..kernels.cosine_gq import cos_node_grads_pallas
 
+                    # a_block=None: the kernel picks the largest VMEM-budgeted
+                    # coefficient block itself (cfg.cheb_ablock is the scan-
+                    # path chunk knob, not the Pallas tile; see
+                    # results/kernel_tune.jsonl for the tuned-default A/B).
                     gn = cos_node_grads_pallas(
                         problem.cheb, state.muu, state.muv, state.sigmau,
                         state.sigmav, state.pn, a3, T, NODE,
-                        a_block=cfg.cheb_ablock,
                     )
                 else:
                     from ..ops.cosine import cos_node_grads

@@ -36,6 +36,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def bench_variant(problem, state, a_block, variant, n1=4, n2=34):
+    # a_block=None → the kernel's VMEM-budgeted auto pick (production default)
     def kloop(ch, s, n):
         def body(i, acc):
             outs = cos_mode_sums_pallas(
@@ -70,7 +71,7 @@ def main():
         )
         for regime, state in (("wide", wide), ("converged", conv)):
             for variant in ("v1", "adaptive"):
-                t = bench_variant(problem, state, cfg.cheb_ablock, variant)
+                t = bench_variant(problem, state, None, variant)
                 rows.append(dict(workload=label, regime=regime,
                                  variant=variant, ms=round(t * 1e3, 3)))
                 print(rows[-1], flush=True)
