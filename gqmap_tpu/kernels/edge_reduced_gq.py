@@ -71,7 +71,15 @@ def _kernel(tab_ref, alpha_ref, t_ref, u1_ref, o1_ref, u2_ref, o2_ref, p_ref,
         gv = w * (-lam_ * jnp.sqrt(eps_ + d * d))
         return (h0 + gv, h1 + gv * x, h2 + gv * (x * x - 0.5))
 
-    h0, h1, h2 = jax.lax.fori_loop(0, K1, body, (zeros, zeros, zeros))
+    # Python-unrolled (K1 is a small static count, ~9): the three carried
+    # accumulators span ~L*rows*N/1024 VREGs each and a fori backedge forces
+    # them through VMEM every iteration (same spill mechanism measured for
+    # the node kernel, results/kernel_tune.jsonl); unrolling also turns the
+    # SMEM quadrature-table reads into static indices.
+    acc = (zeros, zeros, zeros)
+    for k in range(K1):
+        acc = body(k, acc)
+    h0, h1, h2 = acc
 
     sqpi = jnp.asarray(_SQRT_PI, dtype)
     h1s = sqpi * h1 / rc

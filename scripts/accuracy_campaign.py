@@ -53,7 +53,8 @@ def run_one(tag, cfg, seq_name, scale=1.0, seed=0, log=None):
         cfg = dataclasses.replace(cfg, its=its, eval_every=min(cfg.eval_every, its))
         tag = f"{tag}-smoke{its}"
 
-    if (tag, seq_name, seed) in done_runs():
+    force = os.environ.get("GQMAP_CAMPAIGN_FORCE", "") == "1"
+    if not force and (tag, seq_name, seed) in done_runs():
         print(f"skip {tag} {seq_name} seed={seed}: already in campaign.jsonl",
               flush=True)
         return None

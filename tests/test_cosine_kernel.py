@@ -88,3 +88,38 @@ def test_node_grads_adaptive_ragged():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=1e-8, atol=1e-10, err_msg=name
         )
+
+
+def test_mode_sums_spill_free_tile_knobs():
+    # The production spill-free tile: lane tiling (ragged final col block),
+    # full + partial inner unroll, and the auto defaults — all must match
+    # the XLA path exactly (the retile reorders nothing at equal a_block).
+    cos = _toy_cosdata(A=20, B=6, M=16, N=300, seed=11)  # 300 = 2*128 + 44
+    u1, u2, o1, o2, p = _rand_sites(M=16, N=300, L=2, seed=12, sig_hi=2.0)
+    want, _ = _mode_sums(cos, u1, u2, o1, o2, p, a_block=4, want_grads=True)
+    for kw in (
+        dict(a_block=4, cols=128, unroll_b=6),            # full unroll
+        dict(a_block=4, cols=128, unroll_b=2),            # hand-chunked partial
+        dict(a_block=4, cols=256),                        # ragged final block
+        dict(a_block=4),                                  # auto cols
+        dict(),                                           # full production auto
+        dict(a_block=4, cols=128, variant="adaptive"),    # cutoff + col masking
+    ):
+        got = cos_mode_sums_pallas(cos, u1, u2, o1, o2, p, rows=8,
+                                   interpret=True, **kw)
+        for g, w, name in zip(got, want, ("E0", "A1", "A2", "Aa", "Ab", "Ax")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-7,
+                err_msg=f"{name} {kw}"
+            )
+
+
+def test_mode_sums_knob_validation():
+    import pytest
+
+    cos = _toy_cosdata(A=8, B=6, M=8, N=200, seed=13)
+    u1, u2, o1, o2, p = _rand_sites(M=8, N=200, L=1, seed=14, sig_hi=1.0)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        cos_mode_sums_pallas(cos, u1, u2, o1, o2, p, cols=64, interpret=True)
+    with pytest.raises(ValueError, match="divide B"):
+        cos_mode_sums_pallas(cos, u1, u2, o1, o2, p, unroll_b=4, interpret=True)
