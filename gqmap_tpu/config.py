@@ -43,6 +43,16 @@ class GQMAPConfig:
                                   #   quadrature at all, exact gradients;
                                   #   degrees/margin shared with cheb_p/q/margin)
     rfc: int = 6                  # upsample factor exponent for data_term="nearest"
+    bicubic_pack: bool = True     # route the 16-tap bicubic sampler through the
+                                  # complex-packed gather (8 complex64 taps
+                                  # instead of 16 f32 — ops/interp.py
+                                  # sample_bicubic(pack_pairs=True)): gathers
+                                  # are index-rate-bound on TPU, so this halves
+                                  # the exact data term's dominant cost.
+                                  # Values identical up to float associativity
+                                  # (parity-pinned in tests/test_interp.py);
+                                  # f64 golden runs fall back to the unpacked
+                                  # path automatically.
     cheb_p: int = 96              # u-degree of the spectral data term
     cheb_q: int = 32              # v-degree
     cheb_margin: float = 2.0      # displacement-box margin beyond the mu range

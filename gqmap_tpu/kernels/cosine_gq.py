@@ -252,7 +252,12 @@ def cos_mode_sums_pallas(
         rows = min(8, M) if M >= 8 else M
     if cols == "auto":
         cols = 128 if N > 128 else None
-    cols = N if cols is None else min(cols, N)
+    if cols is None:
+        cols = N
+    else:
+        if cols < 128:
+            raise ValueError("cols must be a positive multiple of 128 (or None)")
+        cols = min(cols, N)
     if cols != N and cols % 128:
         raise ValueError("cols must be a multiple of 128 (or the full axis)")
     if a_block is None:

@@ -135,7 +135,7 @@ def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) 
                flow_range.minv - m, flow_range.maxv + m)
         cheb = build_cheb_data(I1, tab, cfg.lambdad, cfg.epsn, box,
                                P=cfg.cheb_p, Q=cfg.cheb_q, patch=cfg.patch,
-                               window_rg=cfg.window_rg)
+                               window_rg=cfg.window_rg, pack=cfg.bicubic_pack)
     elif cfg.data_term == "cosine":
         tab = pad_cubic(I2)
         if flow_range is None:
@@ -147,7 +147,7 @@ def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) 
                flow_range.minv - m, flow_range.maxv + m)
         cheb = build_cos_data(I1, tab, cfg.lambdad, cfg.epsn, box,
                               A=cfg.cheb_p, B=cfg.cheb_q, patch=cfg.patch,
-                              window_rg=cfg.window_rg)
+                              window_rg=cfg.window_rg, pack=cfg.bicubic_pack)
     else:
         raise ValueError(f"unknown data_term {cfg.data_term!r}")
     grad_tabs = None
@@ -217,11 +217,13 @@ def _node_f(cfg: GQMAPConfig, problem: Problem, origin=None, local_image_shape=N
             problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn,
             cfg.window_rg, cfg.data_term, cfg.rfc,
             origin=origin, local_image_shape=local_image_shape,
+            pack=cfg.bicubic_pack,
         )
     if cfg.data_term == "bicubic":
         return make_node_pot_bicubic(
             problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, patch=cfg.patch,
             origin=origin, local_image_shape=local_image_shape,
+            pack=cfg.bicubic_pack,
         )
     return make_node_pot_nearest(
         problem.I1, problem.I2_tab, cfg.lambdad, cfg.epsn, cfg.rfc,
@@ -429,10 +431,11 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
                 if use_pallas:
                     from ..kernels.cosine_gq import cos_node_grads_pallas
 
-                    # a_block=None: the kernel picks the largest VMEM-budgeted
-                    # coefficient block itself (cfg.cheb_ablock is the scan-
-                    # path chunk knob, not the Pallas tile; see
-                    # results/kernel_tune.jsonl for the tuned-default A/B).
+                    # a_block=None: the kernel applies its tuned empirical
+                    # default (a_block=min(A, 24); no VMEM-bytes rule fits
+                    # both measured shapes — results/kernel_tune.jsonl).
+                    # cfg.cheb_ablock is the scan-path chunk knob, not the
+                    # Pallas tile.
                     gn = cos_node_grads_pallas(
                         problem.cheb, state.muu, state.muv, state.sigmau,
                         state.sigmav, state.pn, a3, T, NODE,

@@ -69,6 +69,7 @@ def build_cheb_data(
     Q: int = 64,
     patch: int = 1,
     window_rg: int = 0,
+    pack: bool = False,
 ) -> ChebData:
     """Precompute the per-pixel coefficient field (one-time, per run).
 
@@ -96,7 +97,7 @@ def build_cheb_data(
     def eval_node(uv):
         u, v = uv
         # constant displacement: a uniformly shifted (clamped) field sample
-        Vq = sample_bicubic(VV, jj + u, ii + v)
+        Vq = sample_bicubic(VV, jj + u, ii + v, pack_pairs=pack)
         npt = -lam * jnp.sqrt(eps + (I1 - Vq) ** 2)
         if window_rg > 0:
             from .cosine import _box_mean

@@ -120,6 +120,7 @@ def build_cos_data(
     B: int = 16,
     patch: int = 1,
     window_rg: int = 0,
+    pack: bool = False,
 ) -> CosData:
     """Precompute the per-pixel cosine coefficient field (one-time, per run).
 
@@ -146,7 +147,7 @@ def build_cos_data(
 
     def eval_node(uv):
         u, v = uv
-        Vq = sample_bicubic(VV, jj + u, ii + v)
+        Vq = sample_bicubic(VV, jj + u, ii + v, pack_pairs=pack)
         npt = -lam * jnp.sqrt(eps + (I1 - Vq) ** 2)
         if window_rg > 0:
             npt = _box_mean(npt, window_rg)

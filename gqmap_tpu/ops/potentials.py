@@ -49,6 +49,7 @@ def make_node_pot_bicubic(
     patch: int = 1,
     origin=None,
     local_image_shape=None,
+    pack: bool = False,
 ) -> Callable:
     """Return ``f(x1, x2) -> node potential`` over the flow lattice.
 
@@ -85,7 +86,7 @@ def make_node_pot_bicubic(
             x2 = jnp.repeat(jnp.repeat(x2, patch, axis=-2), patch, axis=-1)
         Xq = jj + x1  # sample_bicubic clamps to [1, No] (gqmap_gpu_mixture.m:157)
         Yq = ii + x2
-        Vq = sample_bicubic(VV, Xq, Yq)
+        Vq = sample_bicubic(VV, Xq, Yq, pack_pairs=pack)
         npt = -lam * jnp.sqrt(eps + (I1l - Vq) ** 2)
         if patch > 1:
             M, N = Ml // patch, Nl // patch
@@ -148,6 +149,7 @@ def make_node_pot_windowed(
     rfc: int = 6,
     origin=None,
     local_image_shape=None,
+    pack: bool = False,
 ) -> Callable:
     """Overlapping-window data cost (``legacy/gqmap_cpuV2.m:29-33``,
     ``gqmap_cpuV3.m:30-32``): the node potential at pixel (i, j) is the MEAN
@@ -181,7 +183,7 @@ def make_node_pot_windowed(
             return jnp.take(flat, ci * NN + cj)
     elif base == "bicubic":
         def sample(Xq, Yq):
-            return sample_bicubic(tab, Xq, Yq)
+            return sample_bicubic(tab, Xq, Yq, pack_pairs=pack)
     else:
         raise ValueError(f"windowed data term needs base bicubic|nearest, got {base!r}")
 

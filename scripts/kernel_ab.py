@@ -36,7 +36,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def bench_variant(problem, state, a_block, variant, n1=4, n2=34):
-    # a_block=None → the kernel's VMEM-budgeted auto pick (production default)
+    # a_block=None → the kernel's tuned empirical default, a_block=min(A, 24)
     def kloop(ch, s, n):
         def body(i, acc):
             outs = cos_mode_sums_pallas(

@@ -115,6 +115,7 @@ def main():
             conv.pn, a_block=cfg.cheb_ablock, variant="v1",
         )
         for pt in points:
+            pt = dict(pt)  # per-workload copy: don't leak a resolved a_block
             t0 = time.time()
             ab = pt.pop("a_block", cfg.cheb_ablock)
             err = check_point(problem, conv, ab, ref=ref, **pt)
