@@ -40,7 +40,7 @@ def _cfg_from_args(args) -> GQMAPConfig:
     over = {}
     for field in ("K", "L", "its", "lambdas", "lambdad", "temperature", "eval_every",
                   "quad_chunk", "dtype", "seed", "data_term", "window_rg",
-                  "cheb_p", "cheb_q"):
+                  "cheb_p", "cheb_q", "sweep_order"):
         v = getattr(args, field.lower(), None)
         if v is not None:
             over[field] = v
@@ -64,6 +64,10 @@ def _add_common(p):
                    help="overlapping data-cost window half-size (legacy/gqmap_cpuV2.m)")
     p.add_argument("--cheb-p", dest="cheb_p", type=int, default=None,
                    help="spectral u-degree for chebyshev/cosine data terms")
+    p.add_argument("--sweep-order", dest="sweep_order", default=None,
+                   choices=["jacobi", "redblack"],
+                   help="update order: synchronous Jacobi (reference) or "
+                        "checkerboard Gauss-Seidel half-steps")
     p.add_argument("--cheb-q", dest="cheb_q", type=int, default=None,
                    help="spectral v-degree for chebyshev/cosine data terms")
     p.add_argument("--scale", type=float, default=1.0)

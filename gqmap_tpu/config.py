@@ -99,6 +99,16 @@ class GQMAPConfig:
     t_floor: float = 1e-3         # T floor (gqmap_gpuSuper_mix_entropy.m:72)
 
     # --- optimization ---
+    sweep_order: str = "jacobi"   # "jacobi": whole-grid gather-then-update,
+                                  # the reference's synchronous sweep
+                                  # (gqmap_gpu_mixture.m:29-46); "redblack":
+                                  # checkerboard Gauss-Seidel — two half-
+                                  # steps per sweep, each updating one
+                                  # parity class against the other's FRESH
+                                  # values (the classic stencil-relaxation
+                                  # accuracy/speed knob, SURVEY.md §2.5).
+                                  # Costs ~2x per sweep on dense kernels;
+                                  # pays when it converges in fewer sweeps.
     its: int = 30000              # max sweeps
     step0: float = 0.1            # step = step0 / (1 + it/step_tau)
     step_tau: float = 8000.0      # inf => constant step (gqmap_ctf.m:27)

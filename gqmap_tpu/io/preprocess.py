@@ -67,11 +67,18 @@ def rof_structure(img, theta: float = 0.125, tau: float = 0.25, iters: int = 100
 
 
 def structure_texture(
-    img, blend: float = 0.8, theta: float = 0.125, tau: float = 0.25,
+    img, blend: float = 0.95, theta: float = 0.125, tau: float = 0.25,
     iters: int = 100,
 ):
     """Structure-texture preprocessed frame (the reference's missing
     ``.mat`` generator): texture-emphasized blend, input range preserved.
+
+    Defaults VALIDATED against the reference's shipped opaque inputs
+    (r04 grid search, pinned by ``tests/test_preprocess_parity.py``): at
+    ``blend=0.95, theta=0.125`` the output correlates >= 0.998 with every
+    ``middlebury/preprocessed/*.mat`` frame (all four sequences, both
+    frames) — i.e. this generator reproduces the preprocessing the
+    reference used but never shipped (``optical_flowSuper.m:12-14``).
     """
     img = np.asarray(img, np.float64)
     lo, hi = float(img.min()), float(img.max())

@@ -30,60 +30,85 @@ __all__ = ["cos_mode_sums_pallas", "cos_node_grads_pallas"]
 # Kernel variant used when callers don't ask for one explicitly. "v1" =
 # original fixed-trip two-exp body; "adaptive" = same body with the
 # tile-wide u-degree cutoff (measured on v5e, results/kernel_ab.jsonl:
-# identical converged-regime speed, 3.4-6.7x faster while sigma is wide;
-# the exp-lite "v2" arithmetic experiment recorded there LOST ~20% in the
-# converged regime — exp is cheap on this VPU, extra loop carries are not —
-# and was removed).
-_DEFAULT_VARIANT = "adaptive"
+# identical converged-regime speed, 3.4-6.7x faster while sigma is wide);
+# "recur" = adaptive + a zero-exp multiplicative-recurrence inner body
+# taken whenever a per-tile exponent bound proves it safe — which is
+# exactly the tight-sigma converged regime that dominates a 30000-sweep
+# run (r04; measured ~1.5x the adaptive converged rate). The exp-lite
+# "v2" experiment (one exp per mode, recurrence for the cross factor
+# only) recorded in kernel_ab.jsonl LOST ~20% and was removed; "recur"
+# differs by removing ALL in-loop exps and only where the recurrence
+# cannot underflow-then-recover (see _kernel's safety predicate).
+_DEFAULT_VARIANT = "recur"
 
 
-def _adaptive_trip(s1, s2, a0, a_block, B, M, rows, N, cols):
+def _tile_stats(s1, s2, M, rows, N, cols, total_sites):
+    """Masked per-tile (s1_min, s1_max, s2_max) over the VALID lanes.
+
+    Ragged final row/col tiles carry out-of-bounds garbage lanes — masked
+    out of the min/max, or the adaptive cutoff could drop REAL modes (and
+    the recurrence-safety bound could be poisoned by junk). With
+    ``total_sites`` set the lattice is the FLAT site layout (row-major
+    (M*N,) packed into (Mf, Nf) 128-multiple lanes): validity is then a
+    bound on the flat index, since all padding sits at the tail.
+    """
+    dtype = s1.dtype
+    rows_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
+        + pl.program_id(0) * rows
+    )
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 2)
+    if cols != N:
+        cols_idx = cols_idx + pl.program_id(1) * cols
+    if total_sites is not None:
+        valid = rows_idx * N + cols_idx < total_sites
+    else:
+        valid = rows_idx < M
+        if cols != N:
+            valid &= cols_idx < N
+    s1_min = jnp.min(jnp.where(valid, s1, jnp.asarray(jnp.inf, dtype)))
+    s1_max = jnp.max(jnp.where(valid, s1, jnp.asarray(0.0, dtype)))
+    s2_max = jnp.max(jnp.where(valid, s2, jnp.asarray(0.0, dtype)))
+    return s1_min, s1_max, s2_max
+
+
+def _adaptive_trip(s1_min, s2_max, a0, a_block, B):
     """Tile-wide outer-loop trip count for the adaptive u-degree cutoff.
 
     Every mode weight obeys ``W± <= exp(-0.5 (a s1 - b s2)^2)`` (the cross
     factor ``exp(-a b g±)`` is <= 1 since g± = s1 s2 (1 ∓ p) >= 0), so once
     ``a s1 > (B-1) s2 + theta`` every remaining (a, b) term of the tile is
     below ``e^{-theta^2/2}``; theta = 10 leaves a < e^-50 tail, invisible
-    even against the a²-weighted gradient sums. Ragged final row/col tiles
-    carry out-of-bounds garbage lanes — masked out of the min/max, or the
-    cutoff could drop REAL modes.
+    even against the a²-weighted gradient sums.
     """
-    dtype = s1.dtype
-    valid = (
-        jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
-        + pl.program_id(0) * rows
-    ) < M
-    if cols != N:
-        valid &= (
-            jax.lax.broadcasted_iota(jnp.int32, s1.shape, 2)
-            + pl.program_id(1) * cols
-        ) < N
+    dtype = s1_min.dtype
     theta = jnp.asarray(10.0, dtype)
-    s1_min = jnp.min(jnp.where(valid, s1, jnp.asarray(jnp.inf, dtype)))
-    s2_max = jnp.max(jnp.where(valid, s2, jnp.asarray(0.0, dtype)))
     a_cut = ((B - 1.0) * s2_max + theta) / jnp.maximum(
         s1_min, jnp.asarray(1e-20, dtype)
     )
     return jnp.clip(jnp.ceil(a_cut).astype(jnp.int32) + 1 - a0, 0, a_block)
 
 
-def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
-            e0_ref, a1_ref, a2_ref, aa_ref, ab_ref, ax_ref,
-            *, a_block: int, B: int, adaptive: bool, M: int, rows: int,
-            N: int, cols: int, unroll_b: int):
-    dtype = ph1_ref.dtype
+def _kernel(sp_ref, c_ref, out_ref,
+            *, a_block: int, B: int, variant: str, M: int, rows: int,
+            N: int, cols: int, unroll_b: int, total_sites: int | None):
+    dtype = sp_ref.dtype
     # With lane tiling the u-degree grid axis moves from 1 to 2.
     ia_axis = 1 if cols == N else 2
 
     # Phases/scales are precomputed outside (ph = k*(mu - lo), s = k*sigma)
     # so the kernel needs no scalar box bounds — CosData stays a traceable
     # jit argument (closing over the ~GB coefficient field is not an option
-    # on the remote-compile runtime).
-    ph1 = ph1_ref[0]
-    ph2 = ph2_ref[0]
-    s1 = s1_ref[0]
-    s2 = s2_ref[0]
-    p = p_ref[0]
+    # on the remote-compile runtime). The five per-site inputs arrive as
+    # ONE stacked (5, L, rows, cols) block and the six sums leave as ONE
+    # (6, L, rows, cols) block: separate arrays cost ~11 unfused pad/
+    # reshape/slice HLOs per call in the flat layout (~0.4 ms/sweep, which
+    # erased the wide-regime rate — r04 measurement), stacked it is two.
+    ph1 = sp_ref[0]
+    ph2 = sp_ref[1]
+    s1 = sp_ref[2]
+    s2 = sp_ref[3]
+    p = sp_ref[4]
 
     gm = s1 * s2 * (1.0 - p)
     gp = s1 * s2 * (1.0 + p)
@@ -95,10 +120,13 @@ def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
     a0f = a0.astype(dtype)
     ca, sa = jnp.cos(a0f * ph1), jnp.sin(a0f * ph1)
 
-    if adaptive:
-        trip = _adaptive_trip(s1, s2, a0, a_block, B, M, rows, N, cols)
-    else:
+    if variant == "v1":
         trip = a_block
+    else:
+        s1_min, s1_max, s2_max = _tile_stats(
+            s1, s2, M, rows, N, cols, total_sites
+        )
+        trip = _adaptive_trip(s1_min, s2_max, a0, a_block, B)
 
     zeros = jnp.zeros_like(ph1)
     ones = jnp.ones_like(ph1)
@@ -180,25 +208,95 @@ def _kernel(ph1_ref, ph2_ref, s1_ref, s2_ref, p_ref, c_ref,
         )
 
     init = (ca, sa, zeros, zeros, zeros, zeros, zeros, zeros)
-    _, _, E0, A1, A2, Aa, Ab, Ax = jax.lax.fori_loop(0, trip, a_body, init)
+
+    if variant == "recur":
+        # Zero-exp inner body: Wm(b) and Wp(b) evolve by the exact
+        # multiplicative recurrences
+        #   Wm(b+1) = Wm(b) * fm(b),  fm(b+1) = fm(b) * r,
+        #   fm(0) = exp(a s1 s2 p - s2^2/2),  r = exp(-s2^2)
+        # (and fp(0) with the sign of p flipped), derived from
+        #   h(b+1) - h(b) - a gm = a s1 s2 p - s2^2 (b + 1/2).
+        # Three exps per (a, tile-site) instead of two per (a, b,
+        # tile-site). The recurrence is ONLY numerically valid when no
+        # intermediate weight underflows and later recovers (Wm(0) =
+        # exp(-(a s1)^2/2) dies at a s1 > ~13 while Wm(b ~ a s1/s2) can be
+        # O(1) — exactly the wide-sigma + correlated case the stable
+        # exponent split exists for, ops/cosine.py). Tile-wide bound:
+        # every exponent magnitude along the path is < (a_max s1_max +
+        # B s2_max)^2, so require that < 8.9 (=> e^|79| stays finite and
+        # no f32 weight underflows by more than e^-79 before recovering) —
+        # satisfied with ~20x margin in the converged regime, where this
+        # branch is ~1.5x the exp body (r04, results/kernel_ab.jsonl).
+        spp = s1 * s2 * p
+        hs2 = 0.5 * (s2 * s2)
+        rr = jnp.exp(-(s2 * s2))
+
+        def a_body_recur(j, carry):
+            ca, sa, E0, A1, A2, Aa, Ab, Ax = carry
+            af = a0f + j.astype(dtype)
+            as1 = af * s1
+            wm = jnp.exp(-0.5 * (as1 * as1))
+            arg = af * spp
+            fm = jnp.exp(arg - hs2)
+            fp = jnp.exp(-arg - hs2)
+            wp = wm
+            cb, sb = ones, zeros
+            sE = sEb = sP = sPm = sXb = zeros
+            for b in range(B):
+                bf = float(b)
+                cab = c_ref[0, j, b]
+                apl = cab * (wm + wp)
+                ami = cab * (wm - wp)
+                t1 = ca * cb
+                t2 = sa * sb
+                t3 = sa * cb
+                t4 = ca * sb
+                Et = t1 * apl + t2 * ami   # c (U + V)
+                Xt = t1 * ami + t2 * apl   # c (U - V)
+                Pt = t3 * apl - t4 * ami   # c (P + Q)
+                Mt = t3 * ami - t4 * apl   # c (P - Q)
+                sE = sE + Et
+                sEb = sEb + (bf * bf) * Et
+                sP = sP + Pt
+                sPm = sPm + bf * Mt
+                sXb = sXb + bf * Xt
+                wm = wm * fm
+                fm = fm * rr
+                wp = wp * fp
+                fp = fp * rr
+                cb, sb = cb * c2 - sb * sn2, sb * c2 + cb * sn2
+            return (
+                ca * c1 - sa * sn1,
+                sa * c1 + ca * sn1,
+                E0 + sE,
+                A1 + af * sP,
+                A2 + sPm,
+                Aa + (af * af) * sE,
+                Ab + sEb,
+                Ax + af * sXb,
+            )
+
+        a_hi = a0f + trip.astype(dtype)
+        safe = a_hi * s1_max + B * s2_max < 8.9
+        _, _, E0, A1, A2, Aa, Ab, Ax = jax.lax.cond(
+            safe,
+            lambda: jax.lax.fori_loop(0, trip, a_body_recur, init),
+            lambda: jax.lax.fori_loop(0, trip, a_body, init),
+        )
+    else:
+        _, _, E0, A1, A2, Aa, Ab, Ax = jax.lax.fori_loop(0, trip, a_body, init)
+
+    sums = (E0, A1, A2, Aa, Ab, Ax)
 
     @pl.when(ia == 0)
     def _init():
-        e0_ref[0] = E0
-        a1_ref[0] = A1
-        a2_ref[0] = A2
-        aa_ref[0] = Aa
-        ab_ref[0] = Ab
-        ax_ref[0] = Ax
+        for k, v in enumerate(sums):
+            out_ref[k] = v
 
     @pl.when(ia != 0)
     def _acc():
-        e0_ref[0] += E0
-        a1_ref[0] += A1
-        a2_ref[0] += A2
-        aa_ref[0] += Aa
-        ab_ref[0] += Ab
-        ax_ref[0] += Ax
+        for k, v in enumerate(sums):
+            out_ref[k] += v
 
 
 def cos_mode_sums_pallas(
@@ -243,7 +341,32 @@ def cos_mode_sums_pallas(
     ph2 = kv * (u2 - cos.lo_v)
     s1 = ku * o1
     s2 = kv * o2
-    args = [jnp.broadcast_to(x, (L, M, N)) for x in (ph1, ph2, s1, s2, p)]
+    sp = jnp.stack([jnp.broadcast_to(x, (L, M, N))
+                    for x in (ph1, ph2, s1, s2, p)])
+
+    # FLAT site layout: when the coefficient field was built with
+    # build_cos_data(flat=True) its trailing axes are (Mf, Nf) — the
+    # row-major (M*N,) site vector packed into 128-multiple lanes with the
+    # padding at the tail. A ragged lattice like 452 lanes otherwise pads
+    # to 512 in every tile (~13% dead work); repacking costs one O(state)
+    # reshape per call (~10 us) against a per-MODE saving. Zero-fill is
+    # safe: pad coefficients are zero, and validity masking in _tile_stats
+    # keeps pad lanes out of the cutoff/safety reductions.
+    total_sites = None
+    lattice = (M, N)
+    if coeffs.shape[2:] != (M, N):
+        Mf, Nf = coeffs.shape[2:]
+        S = M * N
+        if Mf * Nf < S:
+            raise ValueError(
+                f"flat coefficient field {coeffs.shape} too small for the "
+                f"({M}, {N}) lattice"
+            )
+        total_sites = S
+        sp = jnp.pad(
+            sp.reshape(5, L, S), ((0, 0), (0, 0), (0, Mf * Nf - S))
+        ).reshape(5, L, Mf, Nf)
+        M, N = Mf, Nf
 
     # Mosaic wants the sublane block dim divisible by 8 (or the full axis);
     # a ragged final row-block is fine — Pallas masks out-of-bounds writes.
@@ -276,7 +399,11 @@ def cos_mode_sums_pallas(
     if cols == N:
         grid = (-(-M // rows), nA)
         state_spec = pl.BlockSpec(
-            (1, L, rows, N), lambda im, ia: (0, 0, im, 0),
+            (5, L, rows, N), lambda im, ia: (0, 0, im, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (6, L, rows, N), lambda im, ia: (0, 0, im, 0),
             memory_space=pltpu.VMEM,
         )
         coeff_spec = pl.BlockSpec(
@@ -286,31 +413,40 @@ def cos_mode_sums_pallas(
     else:
         grid = (-(-M // rows), -(-N // cols), nA)
         state_spec = pl.BlockSpec(
-            (1, L, rows, cols), lambda im, ic, ia: (0, 0, im, ic),
+            (5, L, rows, cols), lambda im, ic, ia: (0, 0, im, ic),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (6, L, rows, cols), lambda im, ic, ia: (0, 0, im, ic),
             memory_space=pltpu.VMEM,
         )
         coeff_spec = pl.BlockSpec(
             (1, a_block, B, rows, cols), lambda im, ic, ia: (ia, 0, 0, im, ic),
             memory_space=pltpu.VMEM,
         )
-    out_spec = state_spec
-    out_shape = [jax.ShapeDtypeStruct((1, L, M, N), dtype)] * 6
+    out_shape = jax.ShapeDtypeStruct((6, L, M, N), dtype)
 
-    if variant not in ("v1", "adaptive"):
+    if variant not in ("v1", "adaptive", "recur"):
         raise ValueError(f"unknown cosine kernel variant {variant!r}")
     body = functools.partial(_kernel, a_block=a_block, B=B,
-                             adaptive=variant == "adaptive", M=M, rows=rows,
-                             N=N, cols=cols, unroll_b=unroll_b)
+                             variant=variant, M=M, rows=rows,
+                             N=N, cols=cols, unroll_b=unroll_b,
+                             total_sites=total_sites)
     fn = pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[state_spec] * 5 + [coeff_spec],
-        out_specs=[out_spec] * 6,
+        in_specs=[state_spec, coeff_spec],
+        out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
     )
-    outs = fn(*[x[None] for x in args], cblocks)
-    return tuple(o[0] for o in outs)
+    outs = fn(sp, cblocks)
+    if total_sites is not None:
+        Ml, Nl = lattice
+        outs = outs.reshape(6, L, M * N)[..., :total_sites].reshape(
+            6, L, Ml, Nl
+        )
+    return tuple(outs[k] for k in range(6))
 
 
 def cos_node_grads_pallas(

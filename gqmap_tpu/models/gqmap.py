@@ -109,6 +109,32 @@ def flow_lattice_shape(cfg: GQMAPConfig, image_shape) -> tuple[int, int]:
     return Mo // cfg.patch, No // cfg.patch
 
 
+def _use_flat_cos(cfg: GQMAPConfig, M: int, N: int) -> bool:
+    """Build the cosine coefficient field in the FLAT site layout?
+
+    Only where the single-device TPU Pallas path will consume it (the
+    distributed layers 2-D block-shard the coefficient field over the
+    lattice axes, which a flat layout would break), and only when the
+    lattice's (8, 128)-tile padding actually wastes >2% (ops/cosine.py
+    ``flat_pack_shape``; e.g. the 452-wide flagship pads to 512 lanes —
+    ~13% dead mode work per sweep without the repack).
+    """
+    if cfg.data_term != "cosine" or cfg.gradient_estimator == "autodiff":
+        return False
+    if cfg.node_kernel not in ("auto", "pallas"):
+        return False
+    try:
+        if not (jax.default_backend() == "tpu" and jax.device_count() == 1):
+            return False
+    except Exception:
+        return False
+    from ..ops.cosine import flat_pack_shape
+
+    eff_2d = (-(-M // 8) * 8) * (-(-N // 128) * 128)
+    Mf, Nf = flat_pack_shape(M * N)
+    return eff_2d > 1.02 * Mf * Nf
+
+
 def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) -> Problem:
     dt = _dt(cfg)
     I1 = jnp.asarray(I1, dt)
@@ -147,7 +173,8 @@ def make_problem(cfg: GQMAPConfig, I1, I2, flow_range: FlowRange | None = None) 
                flow_range.minv - m, flow_range.maxv + m)
         cheb = build_cos_data(I1, tab, cfg.lambdad, cfg.epsn, box,
                               A=cfg.cheb_p, B=cfg.cheb_q, patch=cfg.patch,
-                              window_rg=cfg.window_rg, pack=cfg.bicubic_pack)
+                              window_rg=cfg.window_rg, pack=cfg.bicubic_pack,
+                              flat=_use_flat_cos(cfg, *flow_lattice_shape(cfg, I1.shape)))
     else:
         raise ValueError(f"unknown data_term {cfg.data_term!r}")
     grad_tabs = None
@@ -356,170 +383,213 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
         a3 = alpha.reshape(L, 1, 1)
         T = state.temperature
 
-        if cfg.gradient_estimator == "autodiff":
-            # TPU-native heir of the legacy/gqmap_gpuV3.m analytic-derivative
-            # estimator family: all parameter gradients (incl. the neighbor
-            # scatter-back and the softmax chain) via jax.grad of the
-            # quadrature-estimated expected energy.
-            # Gradient target: the FULL-lattice energy (incl. border-owned
-            # and wrap-around edge terms) — that is what the reference's
-            # assembled gradients differentiate; the interior-only sum is
-            # only what it *reports* and what drives the alpha update
-            # (gqmap_gpu_mixture.m:36,48 vs :37-46).
-            def expected_energy(muu_, muv_, su_, sv_, pn_, rou_):
-                a3_ = alpha.reshape(L, 1, 1)
-                if cfg.data_term == "cosine":
-                    from ..ops.cosine import cos_ei
+        def compute_grads(state: GQState):
+            """All parameter gradients + interior energy/dalpha at ``state``.
 
-                    en = cos_ei(problem.cheb, muu_, muv_, su_, sv_, pn_, cfg.cheb_ablock)
-                else:
-                    en = gq_ei(node_f, muu_, muv_, su_, sv_, pn_, tab) * _INV_PI
-                Hn = _E_CONST1 + jnp.log(jnp.sqrt(1.0 - pn_ * pn_) * su_ * sv_)
-                da_n = en - 3.0 * T * Hn
-                mu_ = jnp.stack([muu_, muv_], axis=0)
-                sg_ = jnp.stack([su_, sv_], axis=0)
-                u2e_ = jnp.stack([roll(mu_, -1, -2), roll(mu_, -1, -1)], axis=0)
-                o2e_ = jnp.stack([roll(sg_, -1, -2), roll(sg_, -1, -1)], axis=0)
-                if cfg.edge_quad == "reduced":
-                    ei_e = gq_ei_diff(edge_fd, mu_[None], u2e_, sg_[None], o2e_, rou_, tab1)
-                else:
-                    ei_e = gq_ei(edge_f, mu_[None], u2e_, sg_[None], o2e_, rou_, tab)
-                He = _E_CONST1 + jnp.log(jnp.sqrt(1.0 - rou_ * rou_) * sg_[None] * o2e_)
-                da_e = ei_e * _INV_PI + T * He
-                full = psum(jnp.sum(a3_ * da_n) + jnp.sum(a3_ * da_e))
-                energy_int = psum(
-                    jnp.sum(jnp.where(interior, a3_ * da_n, 0))
-                    + jnp.sum(jnp.where(interior, a3_ * da_e, 0))
-                )
-                dalpha_int = psum(
-                    jnp.sum(jnp.where(interior, da_n, 0), axis=(-2, -1))
-                    + jnp.sum(jnp.where(interior, da_e, 0), axis=(0, 1, -2, -1))
-                )
-                return full, (energy_int, dalpha_int)
+            Factored out of the update so the red-black (checkerboard
+            Gauss-Seidel) order can evaluate it once per half-step against
+            the other color's freshly updated values (SURVEY.md §2.5); the
+            Jacobi order calls it exactly once per sweep, reproducing the
+            reference dataflow (gqmap_gpu_mixture.m:29-46) unchanged.
+            """
+            if cfg.gradient_estimator == "autodiff":
+                # TPU-native heir of the legacy/gqmap_gpuV3.m analytic-derivative
+                # estimator family: all parameter gradients (incl. the neighbor
+                # scatter-back and the softmax chain) via jax.grad of the
+                # quadrature-estimated expected energy.
+                # Gradient target: the FULL-lattice energy (incl. border-owned
+                # and wrap-around edge terms) — that is what the reference's
+                # assembled gradients differentiate; the interior-only sum is
+                # only what it *reports* and what drives the alpha update
+                # (gqmap_gpu_mixture.m:36,48 vs :37-46).
+                def expected_energy(muu_, muv_, su_, sv_, pn_, rou_):
+                    a3_ = alpha.reshape(L, 1, 1)
+                    if cfg.data_term == "cosine":
+                        from ..ops.cosine import cos_ei
 
-            (_, (energy, dalpha)), grads = jax.value_and_grad(
-                expected_energy, argnums=tuple(range(6)), has_aux=True
-            )(state.muu, state.muv, state.sigmau, state.sigmav, state.pn, state.rou)
-            dmuu, dmuv, dsigmau, dsigmav, dpn_g, drou_g = grads
-        else:
-            # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
-            if cfg.gradient_estimator == "prewitt":
-                # the gpuV3 estimator family: quadrature of the chain-rule
-                # df/dx against precomputed Prewitt gradient fields
-                # (legacy/gqmap_gpuV3.m:91-125)
-                from ..ops.gq import finalize_chain, gq_accumulate_chain
-                from ..ops.potentials import make_node_pot_nearest_chain
-
-                if dist is None:
-                    chain_kw = {}
-                else:
-                    ml, nl = dist.local_lattice
-                    r0, c0 = dist.origin()
-                    chain_kw = dict(origin=(r0, c0), local_image_shape=(ml, nl))
-                fgn = make_node_pot_nearest_chain(
-                    problem.I1, problem.I2_tab, problem.grad_tabs[0],
-                    problem.grad_tabs[1], cfg.lambdad, cfg.epsn, cfg.rfc,
-                    **chain_kw,
-                )
-                raw_c = gq_accumulate_chain(
-                    fgn, state.muu, state.muv, state.sigmau, state.sigmav,
-                    state.pn, tab,
-                )
-                gn = finalize_chain(raw_c, a3, state.sigmau, state.sigmav,
-                                    state.pn, T, NODE)
-            elif cfg.data_term == "cosine":
-                if use_pallas:
-                    from ..kernels.cosine_gq import cos_node_grads_pallas
-
-                    # a_block=None: the kernel applies its tuned empirical
-                    # default (a_block=min(A, 24); no VMEM-bytes rule fits
-                    # both measured shapes — results/kernel_tune.jsonl).
-                    # cfg.cheb_ablock is the scan-path chunk knob, not the
-                    # Pallas tile.
-                    gn = cos_node_grads_pallas(
-                        problem.cheb, state.muu, state.muv, state.sigmau,
-                        state.sigmav, state.pn, a3, T, NODE,
+                        en = cos_ei(problem.cheb, muu_, muv_, su_, sv_, pn_, cfg.cheb_ablock)
+                    else:
+                        en = gq_ei(node_f, muu_, muv_, su_, sv_, pn_, tab) * _INV_PI
+                    Hn = _E_CONST1 + jnp.log(jnp.sqrt(1.0 - pn_ * pn_) * su_ * sv_)
+                    da_n = en - 3.0 * T * Hn
+                    mu_ = jnp.stack([muu_, muv_], axis=0)
+                    sg_ = jnp.stack([su_, sv_], axis=0)
+                    u2e_ = jnp.stack([roll(mu_, -1, -2), roll(mu_, -1, -1)], axis=0)
+                    o2e_ = jnp.stack([roll(sg_, -1, -2), roll(sg_, -1, -1)], axis=0)
+                    if cfg.edge_quad == "reduced":
+                        ei_e = gq_ei_diff(edge_fd, mu_[None], u2e_, sg_[None], o2e_, rou_, tab1)
+                    else:
+                        ei_e = gq_ei(edge_f, mu_[None], u2e_, sg_[None], o2e_, rou_, tab)
+                    He = _E_CONST1 + jnp.log(jnp.sqrt(1.0 - rou_ * rou_) * sg_[None] * o2e_)
+                    da_e = ei_e * _INV_PI + T * He
+                    full = psum(jnp.sum(a3_ * da_n) + jnp.sum(a3_ * da_e))
+                    energy_int = psum(
+                        jnp.sum(jnp.where(interior, a3_ * da_n, 0))
+                        + jnp.sum(jnp.where(interior, a3_ * da_e, 0))
                     )
-                else:
-                    from ..ops.cosine import cos_node_grads
-
-                    gn = cos_node_grads(
-                        problem.cheb, state.muu, state.muv, state.sigmau,
-                        state.sigmav, state.pn, a3, T, NODE, cfg.cheb_ablock,
+                    dalpha_int = psum(
+                        jnp.sum(jnp.where(interior, da_n, 0), axis=(-2, -1))
+                        + jnp.sum(jnp.where(interior, da_e, 0), axis=(0, 1, -2, -1))
                     )
+                    return full, (energy_int, dalpha_int)
+
+                (_, (energy, dalpha)), grads = jax.value_and_grad(
+                    expected_energy, argnums=tuple(range(6)), has_aux=True
+                )(state.muu, state.muv, state.sigmau, state.sigmav, state.pn, state.rou)
+                dmuu, dmuv, dsigmau, dsigmav, dpn_g, drou_g = grads
             else:
-                raw_n = gq_accumulate(
-                    node_f, state.muu, state.muv, state.sigmau, state.sigmav, state.pn, tab
+                # --- node kernel (gqmap_gpu_mixture.m:29, :87-116) ---
+                if cfg.gradient_estimator == "prewitt":
+                    # the gpuV3 estimator family: quadrature of the chain-rule
+                    # df/dx against precomputed Prewitt gradient fields
+                    # (legacy/gqmap_gpuV3.m:91-125)
+                    from ..ops.gq import finalize_chain, gq_accumulate_chain
+                    from ..ops.potentials import make_node_pot_nearest_chain
+
+                    if dist is None:
+                        chain_kw = {}
+                    else:
+                        ml, nl = dist.local_lattice
+                        r0, c0 = dist.origin()
+                        chain_kw = dict(origin=(r0, c0), local_image_shape=(ml, nl))
+                    fgn = make_node_pot_nearest_chain(
+                        problem.I1, problem.I2_tab, problem.grad_tabs[0],
+                        problem.grad_tabs[1], cfg.lambdad, cfg.epsn, cfg.rfc,
+                        **chain_kw,
+                    )
+                    raw_c = gq_accumulate_chain(
+                        fgn, state.muu, state.muv, state.sigmau, state.sigmav,
+                        state.pn, tab,
+                    )
+                    gn = finalize_chain(raw_c, a3, state.sigmau, state.sigmav,
+                                        state.pn, T, NODE)
+                elif cfg.data_term == "cosine":
+                    if use_pallas:
+                        from ..kernels.cosine_gq import cos_node_grads_pallas
+
+                        # a_block=None: the kernel applies its tuned empirical
+                        # default (a_block=min(A, 24); no VMEM-bytes rule fits
+                        # both measured shapes — results/kernel_tune.jsonl).
+                        # cfg.cheb_ablock is the scan-path chunk knob, not the
+                        # Pallas tile.
+                        gn = cos_node_grads_pallas(
+                            problem.cheb, state.muu, state.muv, state.sigmau,
+                            state.sigmav, state.pn, a3, T, NODE,
+                        )
+                    else:
+                        from ..ops.cosine import cos_node_grads
+
+                        gn = cos_node_grads(
+                            problem.cheb, state.muu, state.muv, state.sigmau,
+                            state.sigmav, state.pn, a3, T, NODE, cfg.cheb_ablock,
+                        )
+                else:
+                    raw_n = gq_accumulate(
+                        node_f, state.muu, state.muv, state.sigmau, state.sigmav, state.pn, tab
+                    )
+                    gn = finalize(raw_n, a3, state.sigmau, state.sigmav, state.pn, T, NODE)
+
+                # --- edge kernel (:31-34, :118-146); dims (dir, chan, L, M, N) ---
+                mu = jnp.stack([state.muu, state.muv], axis=0)        # (chan, L, M, N)
+                sg = jnp.stack([state.sigmau, state.sigmav], axis=0)
+                u1e = mu[None]                                        # (1, chan, L, M, N)
+                o1e = sg[None]
+                u2e = jnp.stack([roll(mu, -1, -2), roll(mu, -1, -1)], axis=0)
+                o2e = jnp.stack([roll(sg, -1, -2), roll(sg, -1, -1)], axis=0)
+                if use_edge_pallas:
+                    from ..kernels.edge_reduced_gq import edge_reduced_grads_pallas
+
+                    ge = edge_reduced_grads_pallas(
+                        mu, sg, u2e, o2e, state.rou, alpha, T,
+                        k1, cfg.lambdas, cfg.epsn, EDGE,
+                    )
+                elif cfg.edge_quad == "reduced":
+                    raw_e = gq_accumulate_diff(edge_fd, u1e, u2e, o1e, o2e, state.rou, tab1)
+                    ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
+                elif use_edge_tensor_pallas:
+                    from ..kernels.edge_gq import edge_gq_pallas
+
+                    raw_e = edge_gq_pallas(
+                        u1e, u2e, o1e, o2e, state.rou, cfg.K, cfg.lambdas, cfg.epsn
+                    )
+                    ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
+                else:
+                    raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
+                    ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
+
+                # --- gradient assembly: endpoint-1 terms stay, endpoint-2 terms
+                # are scattered back to the neighbor that owns them (:37-40) ---
+                def assemble(dn, d1, d2, chan):
+                    return (
+                        dn
+                        + d1[0, chan]
+                        + d1[1, chan]
+                        + roll(d2[0, chan], 1, -2)
+                        + roll(d2[1, chan], 1, -1)
+                    )
+
+                dmuu = assemble(gn.du1, ge.du1, ge.du2, 0)
+                dmuv = assemble(gn.du2, ge.du1, ge.du2, 1)
+                dsigmau = assemble(gn.do1, ge.do1, ge.do2, 0)
+                dsigmav = assemble(gn.do2, ge.do1, ge.do2, 1)
+                dpn_g = gn.dp
+                drou_g = ge.dp
+
+                # --- energy + global mixture gradient (:36, :48) ---
+                energy = psum(
+                    jnp.sum(jnp.where(interior, gn.E, 0)) + jnp.sum(jnp.where(interior, ge.E, 0))
                 )
-                gn = finalize(raw_n, a3, state.sigmau, state.sigmav, state.pn, T, NODE)
-
-            # --- edge kernel (:31-34, :118-146); dims (dir, chan, L, M, N) ---
-            mu = jnp.stack([state.muu, state.muv], axis=0)        # (chan, L, M, N)
-            sg = jnp.stack([state.sigmau, state.sigmav], axis=0)
-            u1e = mu[None]                                        # (1, chan, L, M, N)
-            o1e = sg[None]
-            u2e = jnp.stack([roll(mu, -1, -2), roll(mu, -1, -1)], axis=0)
-            o2e = jnp.stack([roll(sg, -1, -2), roll(sg, -1, -1)], axis=0)
-            if use_edge_pallas:
-                from ..kernels.edge_reduced_gq import edge_reduced_grads_pallas
-
-                ge = edge_reduced_grads_pallas(
-                    mu, sg, u2e, o2e, state.rou, alpha, T,
-                    k1, cfg.lambdas, cfg.epsn, EDGE,
-                )
-            elif cfg.edge_quad == "reduced":
-                raw_e = gq_accumulate_diff(edge_fd, u1e, u2e, o1e, o2e, state.rou, tab1)
-                ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
-            elif use_edge_tensor_pallas:
-                from ..kernels.edge_gq import edge_gq_pallas
-
-                raw_e = edge_gq_pallas(
-                    u1e, u2e, o1e, o2e, state.rou, cfg.K, cfg.lambdas, cfg.epsn
-                )
-                ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
-            else:
-                raw_e = gq_accumulate(edge_f, u1e, u2e, o1e, o2e, state.rou, tab)
-                ge = finalize(raw_e, a3, o1e, o2e, state.rou, T, EDGE)
-
-            # --- gradient assembly: endpoint-1 terms stay, endpoint-2 terms
-            # are scattered back to the neighbor that owns them (:37-40) ---
-            def assemble(dn, d1, d2, chan):
-                return (
-                    dn
-                    + d1[0, chan]
-                    + d1[1, chan]
-                    + roll(d2[0, chan], 1, -2)
-                    + roll(d2[1, chan], 1, -1)
+                dalpha = psum(
+                    jnp.sum(jnp.where(interior, gn.da, 0), axis=(-2, -1))
+                    + jnp.sum(jnp.where(interior, ge.da, 0), axis=(0, 1, -2, -1))
                 )
 
-            dmuu = assemble(gn.du1, ge.du1, ge.du2, 0)
-            dmuv = assemble(gn.du2, ge.du1, ge.du2, 1)
-            dsigmau = assemble(gn.do1, ge.do1, ge.do2, 0)
-            dsigmav = assemble(gn.do2, ge.do1, ge.do2, 1)
-            dpn_g = gn.dp
-            drou_g = ge.dp
+            return dmuu, dmuv, dsigmau, dsigmav, dpn_g, drou_g, energy, dalpha
 
-            # --- energy + global mixture gradient (:36, :48) ---
-            energy = psum(
-                jnp.sum(jnp.where(interior, gn.E, 0)) + jnp.sum(jnp.where(interior, ge.E, 0))
-            )
-            dalpha = psum(
-                jnp.sum(jnp.where(interior, gn.da, 0), axis=(-2, -1))
-                + jnp.sum(jnp.where(interior, ge.da, 0), axis=(0, 1, -2, -1))
-            )
-
-        # --- clamped interior ascent (:41-46) ---
+        # --- clamped ascent over a site mask (:41-46) ---
         sstep = step * jnp.asarray(cfg.sigma_step_scale, dt)
 
-        def upd(x, dx, lo, hi, s=step, mask=interior):
-            return jnp.where(mask, jnp.clip(x + dx * s, lo, hi), x)
+        def one_pass(st: GQState, mask):
+            dmuu, dmuv, dsigmau, dsigmav, dpn_g, drou_g, energy, dalpha = (
+                compute_grads(st)
+            )
 
-        muu = upd(state.muu, dmuu, rngv.minu, rngv.maxu)
-        muv = upd(state.muv, dmuv, rngv.minv, rngv.maxv)
-        sigmau = upd(state.sigmau, dsigmau, cfg.sigma_min, cfg.sigma_max, sstep)
-        sigmav = upd(state.sigmav, dsigmav, cfg.sigma_min, cfg.sigma_max, sstep)
-        rou = upd(state.rou, drou_g, -cfg.corr_tor, cfg.corr_tor, step, interior)
-        pn = upd(state.pn, dpn_g, -cfg.corr_tor, cfg.corr_tor)
+            def upd(x, dx, lo, hi, s=step):
+                return jnp.where(mask, jnp.clip(x + dx * s, lo, hi), x)
+
+            st2 = st._replace(
+                muu=upd(st.muu, dmuu, rngv.minu, rngv.maxu),
+                muv=upd(st.muv, dmuv, rngv.minv, rngv.maxv),
+                sigmau=upd(st.sigmau, dsigmau, cfg.sigma_min, cfg.sigma_max, sstep),
+                sigmav=upd(st.sigmav, dsigmav, cfg.sigma_min, cfg.sigma_max, sstep),
+                rou=upd(st.rou, drou_g, -cfg.corr_tor, cfg.corr_tor),
+                pn=upd(st.pn, dpn_g, -cfg.corr_tor, cfg.corr_tor),
+            )
+            dmu_sum = psum(jnp.sum(jnp.where(mask, jnp.abs(dmuu), 0)))
+            dsig_sum = psum(jnp.sum(jnp.where(mask, jnp.abs(dsigmau), 0)))
+            return st2, energy, dalpha, dmu_sum, dsig_sum
+
+        if cfg.sweep_order == "redblack":
+            # checkerboard Gauss-Seidel: two half-steps, parity taken in
+            # GLOBAL lattice coordinates so the order is shard-invariant
+            # (each half gathers neighbors from the CURRENT state via roll,
+            # so the halo path naturally exchanges per half-step). Energy /
+            # dalpha are reported from the second half (the fresher state).
+            ri = jax.lax.broadcasted_iota(jnp.int32, interior.shape, 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, interior.shape, 1)
+            if dist is not None:
+                r0, c0 = dist.origin()
+                ri = ri + r0
+                ci = ci + c0
+            red = ((ri + ci) & 1) == 0
+            st1, _, _, p1, s1_ = one_pass(state, interior & red)
+            stc, energy, dalpha, p2, s2_ = one_pass(st1, interior & ~red)
+            dmu_sum = p1 + p2
+            dsig_sum = s1_ + s2_
+        elif cfg.sweep_order == "jacobi":
+            stc, energy, dalpha, dmu_sum, dsig_sum = one_pass(state, interior)
+        else:
+            raise ValueError(f"unknown sweep_order {cfg.sweep_order!r}")
 
         # --- mixture-weight update, active after alpha_start iters (:50) ---
         if L > 1:
@@ -533,8 +603,8 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
             w = state.w
 
         # --- diagnostics & annealing (:69-73) ---
-        ptdmu = psum(jnp.sum(jnp.where(interior, jnp.abs(dmuu), 0))) / n_interior
-        ptdsigma = psum(jnp.sum(jnp.where(interior, jnp.abs(dsigmau), 0))) / n_interior
+        ptdmu = dmu_sum / n_interior
+        ptdsigma = dsig_sum / n_interior
         if cfg.anneal_every > 0:
             T = jnp.where(
                 state.it % cfg.anneal_every == 0,
@@ -542,10 +612,7 @@ def make_sweep(cfg: GQMAPConfig, image_shape, dist: "DistHooks | None" = None) -
                 T,
             )
 
-        new = GQState(
-            w=w, muu=muu, muv=muv, sigmau=sigmau, sigmav=sigmav,
-            pn=pn, rou=rou, temperature=T, it=state.it + 1,
-        )
+        new = stc._replace(w=w, temperature=T, it=state.it + 1)
         return new, SweepAux(energy=energy, ptdmu=ptdmu, ptdsigma=ptdsigma)
 
     return sweep

@@ -48,7 +48,22 @@ import numpy as np
 from .gq import GQGrads, finalize_closed
 from .interp import sample_bicubic
 
-__all__ = ["CosData", "build_cos_data", "cos_node_grads", "cos_ei"]
+__all__ = ["CosData", "build_cos_data", "cos_node_grads", "cos_ei",
+           "flat_pack_shape"]
+
+
+def flat_pack_shape(S: int) -> tuple[int, int]:
+    """(Mf, Nf) of the FLAT site layout for an ``S``-site lattice.
+
+    The cosine node term is strictly per-site, so a ragged lattice width
+    (e.g. 452 -> padded to 512 lanes in every (8, 128) tile, ~13% dead
+    work) can be repacked: flatten ``(M, N)`` row-major and fold into
+    128-multiple lanes with all padding at the tail (<= Nf-1 pad sites,
+    ~0.3%). Built once per run (``build_cos_data(flat=True)``); consumers
+    detect the layout from the coefficient field's trailing shape.
+    """
+    Nf = 512 if S >= 512 else 128 * (-(-S // 128))
+    return -(-S // Nf), Nf
 
 
 class CosData(NamedTuple):
@@ -121,6 +136,7 @@ def build_cos_data(
     patch: int = 1,
     window_rg: int = 0,
     pack: bool = False,
+    flat: bool = False,
 ) -> CosData:
     """Precompute the per-pixel cosine coefficient field (one-time, per run).
 
@@ -162,6 +178,11 @@ def build_cos_data(
     Du = jnp.asarray(_dct2_matrix(A), dtype)
     Dv = jnp.asarray(_dct2_matrix(B), dtype)
     coeffs = jnp.einsum("ap,bq,pqmn->abmn", Du, Dv, vals)
+    if flat:
+        Mf, Nf = flat_pack_shape(M * N)
+        coeffs = jnp.pad(
+            coeffs.reshape(A, B, M * N), ((0, 0), (0, 0), (0, Mf * Nf - M * N))
+        ).reshape(A, B, Mf, Nf)
     return CosData(
         coeffs=coeffs,
         lo_u=jnp.asarray(lo_u, dtype), hi_u=jnp.asarray(hi_u, dtype),
@@ -250,12 +271,46 @@ def _mode_sums(cos: CosData, u1, u2, o1, o2, p, a_block: int, want_grads: bool):
     return sums, (ku, kv, s1, s2)
 
 
+def _flat_repack(cos: CosData, u1, u2, o1, o2, p):
+    """Bridge site args to a FLAT-layout coefficient field (or no-op).
+
+    Returns ``(args, unflatten)``: when ``cos.coeffs`` trails ``(Mf, Nf)``
+    != the args' ``(M, N)`` lattice (``build_cos_data(flat=True)``), the
+    args are repacked row-major with zero tail padding (zero scale/phase is
+    numerically inert and pad coefficients are zero) and ``unflatten``
+    restores per-site outputs; otherwise both are identity.
+    """
+    site = jnp.broadcast_shapes(u1.shape, u2.shape, o1.shape, o2.shape, p.shape)
+    if cos.coeffs.shape[2:] == site[-2:]:
+        return (u1, u2, o1, o2, p), lambda x: x
+    M, N = site[-2:]
+    Mf, Nf = cos.coeffs.shape[2:]
+    S = M * N
+    if Mf * Nf < S:
+        raise ValueError(
+            f"flat coefficient field {cos.coeffs.shape} too small for the "
+            f"({M}, {N}) lattice"
+        )
+    lead = site[:-2]
+
+    def fl(x):
+        x = jnp.broadcast_to(x, site).reshape(lead + (S,))
+        pad = [(0, 0)] * len(lead) + [(0, Mf * Nf - S)]
+        return jnp.pad(x, pad).reshape(lead + (Mf, Nf))
+
+    def unfl(x):
+        return x.reshape(lead + (Mf * Nf,))[..., :S].reshape(site)
+
+    return tuple(fl(x) for x in (u1, u2, o1, o2, p)), unfl
+
+
 def cos_ei(cos: CosData, u1, u2, o1, o2, p, a_block: int = 8) -> jnp.ndarray:
     """Closed-form E[npot] under the correlated bivariate Gaussian (exact
     expectation of the truncated cosine surface). Differentiable — usable
     directly by the autodiff gradient-estimator path."""
-    (E0,), _ = _mode_sums(cos, u1, u2, o1, o2, p, a_block, want_grads=False)
-    return 0.5 * E0
+    args, unfl = _flat_repack(cos, u1, u2, o1, o2, p)
+    (E0,), _ = _mode_sums(cos, *args, a_block, want_grads=False)
+    return 0.5 * unfl(E0)
 
 
 def _finalize_mode_sums(
@@ -285,5 +340,7 @@ def cos_node_grads(
     """Expected node potential and its five exact parameter gradients,
     finalized with the alpha weighting and Bethe-entropy terms exactly like
     the quadrature path (:func:`gqmap_tpu.ops.gq.finalize`)."""
-    sums, _ = _mode_sums(cos, u1, u2, o1, o2, p, a_block, want_grads=True)
+    args, unfl = _flat_repack(cos, u1, u2, o1, o2, p)
+    sums, _ = _mode_sums(cos, *args, a_block, want_grads=True)
+    sums = tuple(unfl(s) for s in sums)
     return _finalize_mode_sums(cos, sums, u1, o1, o2, p, a, T, entropy_scale)

@@ -44,7 +44,8 @@ def done_runs():
     return done
 
 
-def run_one(tag, cfg, seq_name, scale=1.0, seed=0, log=None):
+def run_one(tag, cfg, seq_name, scale=1.0, seed=0, log=None,
+            preprocessed=False, init_flow=None):
     from gqmap_tpu.io.dataset import crop_to_multiple, load_sequence
     from gqmap_tpu.models.gqmap import solve
 
@@ -59,10 +60,14 @@ def run_one(tag, cfg, seq_name, scale=1.0, seed=0, log=None):
               flush=True)
         return None
     os.makedirs(OUT, exist_ok=True)
-    seq = crop_to_multiple(load_sequence(seq_name, scale=scale), cfg.patch)
+    seq = crop_to_multiple(
+        load_sequence(seq_name, scale=scale, preprocessed=preprocessed),
+        cfg.patch,
+    )
+    fl = init_flow(seq) if callable(init_flow) else init_flow
     t0 = time.time()
     res = solve(cfg, seq.img1, seq.img2, gt_flow=seq.gt_flow, seed=seed,
-                verbose=False)
+                init_flow=fl, verbose=False)
     wall = time.time() - t0
     evals = np.where(np.isfinite(res.AEPE))[0]
     rec = dict(

@@ -70,7 +70,7 @@ def main():
             sigmav=jnp.full_like(wide.sigmav, 0.05),
         )
         for regime, state in (("wide", wide), ("converged", conv)):
-            for variant in ("v1", "adaptive"):
+            for variant in ("v1", "adaptive", "recur"):
                 t = bench_variant(problem, state, None, variant)
                 rows.append(dict(workload=label, regime=regime,
                                  variant=variant, ms=round(t * 1e3, 3)))

@@ -40,13 +40,68 @@ def main():
             print(f"| {r['tag']} | {r['seq']} | {r['best_aepe']:.4f} "
                   f"| {r['best_at']} | {r['init']} | {cfgs} |")
 
-    # cosine-vs-exact delta (stage C)
-    ab = {r["tag"]: r for r in camp if r["tag"].startswith("ab_")}
-    if "ab_bicubic" in ab and "ab_cosine" in ab:
-        d = ab["ab_cosine"]["best_aepe"] - ab["ab_bicubic"]["best_aepe"]
-        rel = d / ab["ab_bicubic"]["best_aepe"] * 100
-        print(f"\ncosine-vs-exact AEPE delta (RubberWhale@0.25, matched "
-              f"iters/seed): {d:+.4f} ({rel:+.1f}%)")
+    # cosine-vs-exact A/B with seed statistics (r04: 3 seeds x 3 seqs
+    # @0.25 + RubberWhale@0.5 + full-res Teddy; latest row per
+    # (tag, seq, seed) wins)
+    import numpy as np
+
+    latest = {}
+    for r in camp:
+        latest[(r["tag"], r["seq"], r.get("seed", 0), r.get("scale", 1.0))] = r
+    groups = {}
+    for (tag, seq, seed, scale), r in latest.items():
+        for pref in ("ab_", "abhalf_", "abfull_"):
+            if tag.startswith(pref):
+                groups.setdefault((pref.rstrip("_"), seq, scale, tag[len(pref):]),
+                                  []).append(r)
+    if groups:
+        print("\n### Exact-vs-spectral A/B (matched iterations/seed)\n")
+        print("| Workload | arm | final AEPE (mean±std over seeds) | best AEPE | n |")
+        print("|---|---|---|---|---|")
+        for (fam, seq, scale, arm), rs in sorted(groups.items()):
+            fin = np.array([r["final_aepe"] for r in rs if r["final_aepe"] is not None])
+            best = np.array([r["best_aepe"] for r in rs])
+            print(f"| {fam}:{seq}@{scale} | {arm} | "
+                  f"{fin.mean():.4f}±{fin.std():.4f} | "
+                  f"{best.mean():.4f}±{best.std():.4f} | {len(rs)} |")
+
+    # per-sequence best AEPE + the single Middlebury average (all GT
+    # sequences the reference's drivers name, incl. the commented-out
+    # full-res trio of optical_flow.m:3)
+    per_seq = {}
+    for r in camp:
+        if r.get("scale", 1.0) != 1.0 or r["tag"].startswith(("ab", "order_")):
+            continue
+        k = r["seq"]
+        if k not in per_seq or r["best_aepe"] < per_seq[k]["best_aepe"]:
+            per_seq[k] = r
+    if per_seq:
+        print("\n### Per-sequence best (full-scale driver configs)\n")
+        print("| Sequence | best AEPE | preset tag |")
+        print("|---|---|---|")
+        for k in sorted(per_seq):
+            r = per_seq[k]
+            print(f"| {k} | {r['best_aepe']:.4f} | {r['tag']} |")
+        vals = [r["best_aepe"] for r in per_seq.values()]
+        print(f"\n**Middlebury avg EPE over {len(vals)} GT sequences "
+              f"(best driver config each): {np.mean(vals):.4f}**")
+
+    # sweep-order A/B (iterations-to-AEPE)
+    orders = {r["tag"]: r for r in camp if r["tag"].startswith("order_")}
+    if len(orders) == 2:
+        j, rb = orders["order_jacobi"], orders["order_redblack"]
+        print(f"\nsweep-order A/B ({j['seq']}): jacobi best {j['best_aepe']:.4f} "
+              f"@{j['best_at']} ({j['ms_per_sweep']} ms/sweep) vs redblack "
+              f"best {rb['best_aepe']:.4f} @{rb['best_at']} "
+              f"({rb['ms_per_sweep']} ms/sweep)")
+
+    lam = rows(os.path.join(OUT, "lambda_sweep.jsonl"))
+    if lam:
+        print("\n### lambda_s sweep (LearnRatio.m lever; blockmatch init)\n")
+        print("| Sequence | lambda_s | best AEPE | its |")
+        print("|---|---|---|---|")
+        for r in lam:
+            print(f"| {r['seq']} | {r['lambdas']} | {r['best_aepe']:.4f} | {r['its']} |")
 
 
 if __name__ == "__main__":

@@ -117,3 +117,24 @@ def test_halo_super_variant():
     np.testing.assert_allclose(
         np.asarray(s_halo.muu), np.asarray(s_ref.muu), rtol=1e-9, atol=1e-12
     )
+
+
+def test_halo_redblack_matches_single():
+    # checkerboard half-steps exchange halos twice per sweep; the global
+    # parity (shard-origin-offset) must make the N-shard sweep identical
+    cfg = GQMAPConfig.full_mixture(K=5, L=2, dtype="float64", sweep_order="redblack")
+    M, N = 16, 16
+    problem, state = build(cfg, M, N)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("x", "y"))
+    ref = jax.jit(make_sweep(cfg, (M, N)))
+    halo = make_halo_sweep(cfg, (M, N), mesh)
+    s_ref = s_halo = state
+    for _ in range(3):
+        s_ref, a_ref = ref(problem, s_ref)
+        s_halo, a_halo = halo(problem, s_halo)
+    for f in state._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_halo, f)), np.asarray(getattr(s_ref, f)),
+            rtol=1e-9, atol=1e-12, err_msg=f,
+        )
+    np.testing.assert_allclose(float(a_halo.energy), float(a_ref.energy), rtol=1e-9)

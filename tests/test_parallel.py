@@ -186,3 +186,21 @@ def test_solve_with_mesh_matches_single():
     np.testing.assert_allclose(b.mu, a.mu, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(b.Energy[:6], a.Energy[:6], rtol=1e-8)
     np.testing.assert_allclose(b.AEPE[2], a.AEPE[2], rtol=1e-7)
+
+
+def test_sharded_redblack_equals_single():
+    # GSPMD path: the parity iotas partition with the lattice, so the
+    # checkerboard order must stay shard-count-invariant
+    cfg = GQMAPConfig.full_mixture(K=5, L=2, dtype="float64", sweep_order="redblack")
+    problem, state = problem_and_state(cfg)
+    ref_sweep = jax.jit(make_sweep(cfg, (16, 16)))
+    s_ref, a_ref = run_n(ref_sweep, problem, state, 3)
+    mesh = make_mesh(8)
+    sh_sweep = make_sharded_sweep(cfg, (16, 16), mesh)
+    s_sh, a_sh = run_n(sh_sweep, problem, shard_state(state, mesh), 3)
+    for name in state._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_sh, name)), np.asarray(getattr(s_ref, name)),
+            rtol=1e-9, atol=1e-12, err_msg=name,
+        )
+    np.testing.assert_allclose(float(a_sh.energy), float(a_ref.energy), rtol=1e-9)

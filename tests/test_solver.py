@@ -281,3 +281,89 @@ def test_seeded_regression_lock():
     np.testing.assert_allclose(res.AEPE[99], 1.7480420553231795, rtol=1e-10)
     np.testing.assert_allclose(res.AEPE[199], 1.6825042895488336, rtol=1e-10)
     np.testing.assert_allclose(res.Energy[199], -45189.2677513013, rtol=1e-9)
+
+
+def test_redblack_equals_jacobi_when_uncoupled():
+    # with lambdas=0 and T=0 the edge terms vanish, so sites are independent
+    # and checkerboard Gauss-Seidel must EQUAL the synchronous Jacobi sweep
+    # exactly (each site's update depends on its own state only)
+    I1, I2, gt = shifted_pair()
+    fr = FlowRange(-2, 2, -2, 2)
+    base = GQMAPConfig.full_mixture(L=2, lambdas=0.0, **CFG)
+    st0 = init_state(base, fr, I1.shape)
+    outs = {}
+    for order in ("jacobi", "redblack"):
+        cfg = GQMAPConfig.full_mixture(L=2, lambdas=0.0, sweep_order=order, **CFG)
+        problem = make_problem(cfg, I1, I2, fr)
+        sweep = jax.jit(make_sweep(cfg, I1.shape))
+        st, aux = sweep(problem, st0)
+        outs[order] = (st, aux)
+    a, b = outs["jacobi"][0], outs["redblack"][0]
+    for f in ("muu", "muv", "sigmau", "sigmav", "pn", "rou"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            rtol=1e-12, atol=1e-12, err_msg=f,
+        )
+    np.testing.assert_allclose(
+        float(outs["jacobi"][1].ptdmu), float(outs["redblack"][1].ptdmu), rtol=1e-9
+    )
+
+
+def test_redblack_half_steps_are_sequential():
+    # with coupling on, the black half must see the red half's FRESH values:
+    # one red-black sweep differs from Jacobi, and only interior sites move
+    I1, I2, gt = shifted_pair()
+    fr = FlowRange(-2, 2, -2, 2)
+    cfg_j = GQMAPConfig.full_mixture(L=1, **CFG)
+    cfg_rb = GQMAPConfig.full_mixture(L=1, sweep_order="redblack", **CFG)
+    st0 = init_state(cfg_j, fr, I1.shape)
+    pj = make_problem(cfg_j, I1, I2, fr)
+    sj = jax.jit(make_sweep(cfg_j, I1.shape))
+    srb = jax.jit(make_sweep(cfg_rb, I1.shape))
+    stj, _ = sj(pj, st0)
+    strb, _ = srb(pj, st0)
+    dj = np.asarray(stj.muu) - np.asarray(st0.muu)
+    drb = np.asarray(strb.muu) - np.asarray(st0.muu)
+    assert np.max(np.abs(dj - drb)) > 1e-12  # Gauss-Seidel != Jacobi
+    # red sites' updates coincide (they both start from st0)
+    M, N = I1.shape
+    red = ((np.add.outer(np.arange(M), np.arange(N))) & 1) == 0
+    np.testing.assert_allclose(dj[:, red], drb[:, red], rtol=1e-12, atol=1e-14)
+    # frozen border stays frozen
+    border = np.zeros((M, N), bool)
+    border[0] = border[-1] = True
+    border[:, 0] = border[:, -1] = True
+    assert np.abs(drb[:, border]).max() == 0.0
+
+
+def test_redblack_converges_on_shifted_pair():
+    # same workload/config the Jacobi improvement test pins down — the
+    # checkerboard order must also clearly beat its init AEPE
+    I1, I2, gt = shifted_pair(32, 36, seed=3)
+    cfg = GQMAPConfig.full_mixture(
+        K=7, L=1, its=1500, eval_every=300, dtype="float64", step_tau=800.0,
+        sweep_order="redblack",
+    )
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2), seed=1)
+    assert np.isfinite(res.Energy[: res.iters]).all()
+    first = res.AEPE[0]
+    assert res.best_aepe < 0.55 * first, (first, res.best_aepe)
+
+
+def test_energy_ascends_before_convergence():
+    # The reference's de-facto regression signal is the per-iteration
+    # Energy / logP trace (gqmap_gpu_mixture.m:48,66,71-72): on a seeded
+    # improving workload the expected-energy trend over eval windows must
+    # ascend and logP at the extracted MAP must be finite and improve.
+    # A step-size or sign regression in finalize() fails here directly.
+    I1, I2, gt = shifted_pair(32, 36, seed=3)
+    cfg = GQMAPConfig.full_mixture(
+        K=7, L=1, its=900, eval_every=300, dtype="float64", step_tau=800.0
+    )
+    res = solve(cfg, I1, I2, gt_flow=gt, flow_range=FlowRange(-2, 2, -2, 2), seed=1)
+    e = res.Energy[: res.iters]
+    assert np.isfinite(e).all()
+    wins = [e[i : i + 300].mean() for i in range(0, 900, 300)]
+    assert wins[1] > wins[0] and wins[2] > wins[1], wins
+    lp = res.logP[np.isfinite(res.logP)]
+    assert lp.size >= 3 and lp[-1] > lp[0]
