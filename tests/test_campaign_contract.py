@@ -16,19 +16,22 @@ import pytest
 PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "results", "campaign", "campaign.jsonl")
 
-# (tag, seq) -> (max best_aepe, min iters); thresholds = r03 value + ~7% slack
+# (tag, seq) -> (max best_aepe, min iters); thresholds = r04 re-measured
+# value + ~3% slack (tightened from r03's ~7% per VERDICT r03 weak #6 —
+# the r04 rerun on the flat+recur production kernel reproduced or beat
+# every r03 number, so a modest solver regression now fails loudly)
 EXPECTED = {
-    ("full_cosine", "Teddy"): (5.6, 30000),
-    ("full_cosine", "Cones"): (4.8, 30000),
-    ("super_cosine", "Venus"): (0.93, 30000),
-    ("super_cosine", "Hydrangea"): (0.23, 30000),
-    ("super_cosine", "Urban2"): (3.1, 30000),
-    ("super_cosine", "Urban3"): (1.8, 30000),
-    ("super_cosine", "Grove3"): (3.3, 30000),
-    ("ab_bicubic", "RubberWhale"): (0.57, 2000),
-    ("ab_nearest", "RubberWhale"): (0.57, 2000),
-    ("ab_chebyshev", "RubberWhale"): (0.57, 2000),
-    ("ab_cosine", "RubberWhale"): (0.56, 2000),
+    ("full_cosine", "Teddy"): (5.37, 30000),       # r04: 5.2061
+    ("full_cosine", "Cones"): (4.60, 30000),       # r04: 4.4576
+    ("super_cosine", "Venus"): (0.86, 30000),      # r04: 0.8333
+    ("super_cosine", "Hydrangea"): (0.211, 30000), # r04: 0.2045
+    ("super_cosine", "Urban2"): (2.87, 30000),     # r04: 2.7813
+    ("super_cosine", "Urban3"): (1.67, 30000),     # r04: 1.6184
+    ("super_cosine", "Grove3"): (3.17, 30000),     # r04: 3.0752
+    ("ab_bicubic", "RubberWhale"): (0.55, 2000),   # r04 seed 0: 0.5293
+    ("ab_nearest", "RubberWhale"): (0.55, 2000),
+    ("ab_chebyshev", "RubberWhale"): (0.55, 2000),
+    ("ab_cosine", "RubberWhale"): (0.54, 2000),    # r04 seed 0: 0.5187
 }
 
 
