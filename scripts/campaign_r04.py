@@ -109,8 +109,10 @@ def lam_sweep(seq_name, lambdas, its=10000):
 def main(only=None):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.jax_cache"))
-    # round-4 reruns must not be skipped by rounds-1..3 rows
-    os.environ["GQMAP_CAMPAIGN_FORCE"] = "1"
+    # FORCE=1 only for the first pass (rerun-ab must not be skipped by
+    # rounds-1..3 rows); restarts resume via campaign.jsonl dedup instead,
+    # so a stage interrupted mid-way does not repeat its completed runs.
+    os.environ["GQMAP_CAMPAIGN_FORCE"] = os.environ.get("R04_FORCE", "0")
 
     from gqmap_tpu.config import GQMAPConfig
 
@@ -124,19 +126,6 @@ def main(only=None):
         ac.main(("A", "B"))
         mark("rerun-ab")
 
-    if run("seeds"):
-        base = dict(dtype="float32", its=2000, eval_every=100)
-        for seq in ("RubberWhale", "Dimetrodon", "Grove2"):
-            for seed in (0, 1, 2):
-                cfg = GQMAPConfig.full_mixture(
-                    data_term="cosine", cheb_p=96, cheb_q=16,
-                    edge_quad="reduced", **base)
-                ac.run_one("ab_cosine", cfg, seq, scale=0.25, seed=seed)
-                cfg = GQMAPConfig.full_mixture(
-                    data_term="bicubic", quad_chunk=27, **base)
-                ac.run_one("ab_bicubic", cfg, seq, scale=0.25, seed=seed)
-        mark("seeds")
-
     if run("trio"):
         # small-motion full-res: GT boxes are ~+-5 px, so the flagship
         # 96x16 degree set resolves them finely
@@ -144,17 +133,6 @@ def main(only=None):
             cfg = GQMAPConfig.tpu_fast(dtype="float32", cheb_p=96, cheb_q=16)
             ac.run_one("full_cosine", cfg, seq)
         mark("trio")
-
-    if run("lam-teddy"):
-        lam_sweep("Teddy", [1.0, 2.0, 3.5, 5.0, 7.0, 10.0, 14.0, 20.0])
-        mark("lam-teddy")
-
-    if run("pre"):
-        for seq in ("RubberWhale", "Dimetrodon", "Hydrangea", "Venus"):
-            cfg = GQMAPConfig.tpu_fast_super(dtype="float32", cheb_p=96,
-                                             cheb_q=48)
-            ac.run_one("super_cosine_pre", cfg, seq, preprocessed=True)
-        mark("pre")
 
     if run("ctf-small"):
         for seq in ("Dimetrodon", "Grove2"):
@@ -170,6 +148,43 @@ def main(only=None):
             ac.run_one(f"order_{order}", cfg, "RubberWhale")
         mark("redblack")
 
+    if run("lam-teddy"):
+        lam_sweep("Teddy", [1.0, 2.0, 3.5, 5.0, 7.0, 10.0, 14.0, 20.0])
+        mark("lam-teddy")
+
+    if run("pre"):
+        for seq in ("RubberWhale", "Dimetrodon", "Hydrangea", "Venus"):
+            cfg = GQMAPConfig.tpu_fast_super(dtype="float32", cheb_p=96,
+                                             cheb_q=48)
+            ac.run_one("super_cosine_pre", cfg, seq, preprocessed=True)
+        mark("pre")
+
+    if run("seeds"):
+        base = dict(dtype="float32", its=2000, eval_every=100)
+        for seq in ("RubberWhale", "Dimetrodon", "Grove2"):
+            for seed in (0, 1, 2):
+                cfg = GQMAPConfig.full_mixture(
+                    data_term="cosine", cheb_p=96, cheb_q=16,
+                    edge_quad="reduced", **base)
+                ac.run_one("ab_cosine", cfg, seq, scale=0.25, seed=seed)
+                cfg = GQMAPConfig.full_mixture(
+                    data_term="bicubic", quad_chunk=27, **base)
+                ac.run_one("ab_bicubic", cfg, seq, scale=0.25, seed=seed)
+        mark("seeds")
+
+    if run("abfull"):
+        for seed in (0, 1, 2):
+            cfg = GQMAPConfig.full_mixture(
+                data_term="cosine", cheb_p=192, cheb_q=12, edge_quad="reduced",
+                dtype="float32", its=2000, eval_every=200)
+            ac.run_one("abfull_cosine", cfg, "Teddy", seed=seed)
+        # exact arm: ~2.4 s/sweep full-res even complex-packed — keep each
+        # on-device segment well under the tunneled runtime's watchdog
+        cfg = GQMAPConfig.full_mixture(data_term="bicubic", quad_chunk=27,
+                                       dtype="float32", its=2000, eval_every=25)
+        ac.run_one("abfull_bicubic", cfg, "Teddy", seed=0)
+        mark("abfull")
+
     if run("abhalf"):
         base = dict(dtype="float32", its=2000, eval_every=100)
         for seed in (0, 1, 2):
@@ -184,19 +199,6 @@ def main(only=None):
     if run("lam-cones"):
         lam_sweep("Cones", [1.0, 2.0, 3.5, 5.0, 7.0, 10.0, 14.0, 20.0])
         mark("lam-cones")
-
-    if run("abfull"):
-        for seed in (0, 1, 2):
-            cfg = GQMAPConfig.full_mixture(
-                data_term="cosine", cheb_p=192, cheb_q=12, edge_quad="reduced",
-                dtype="float32", its=2000, eval_every=200)
-            ac.run_one("abfull_cosine", cfg, "Teddy", seed=seed)
-        # exact arm: ~2.4 s/sweep full-res even complex-packed — keep each
-        # on-device segment well under the tunneled runtime's watchdog
-        cfg = GQMAPConfig.full_mixture(data_term="bicubic", quad_chunk=27,
-                                       dtype="float32", its=2000, eval_every=25)
-        ac.run_one("abfull_bicubic", cfg, "Teddy", seed=0)
-        mark("abfull")
 
     print("[r04] campaign complete", flush=True)
 
