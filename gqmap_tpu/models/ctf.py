@@ -53,9 +53,22 @@ def solve_coarse_to_fine(
     scales=(1 / 8, 1 / 4, 1 / 2, 1),
     seed=None,
     verbose: bool = False,
+    level_init: str = "zero",
 ) -> CTFResult:
     """Pyramid solve with warp accumulation; ``cfg`` is the per-level solver
-    preset (typically :meth:`GQMAPConfig.ctf_level`, L=1)."""
+    preset (typically :meth:`GQMAPConfig.ctf_level`, L=1).
+
+    ``level_init="zero"`` (default) seeds every level's means at zero —
+    the natural prior for a RESIDUAL solve (after warping, the remaining
+    flow is ~0 wherever the coarser levels were right). The reference
+    instead random-initializes each level over the full clamp box
+    (``legacy/gqmap_ctf.m`` inherits gpuV2's init), so any level that does
+    not fully converge within its budget ADDS its leftover random field to
+    the accumulated warp — measured r04: Dimetrodon/Grove2 end at AEPE
+    6.3/8.7 under the reference scheme vs sub-pixel with zero init; the
+    reference lineage abandoning ``optical_flow_ctf.m`` is consistent.
+    ``level_init="random"`` reproduces the reference behavior.
+    """
     I1 = np.asarray(I1, np.float64)
     I2 = np.asarray(I2, np.float64)
     gt = np.asarray(gt_flow, np.float64)
@@ -82,9 +95,16 @@ def solve_coarse_to_fine(
             float(gts[..., 1].min()), float(gts[..., 1].max()),
         )
         gt_level = imresize(gt_clean, (Ms, Ns)) * scale
+        if level_init == "zero":
+            lvl_init_flow = np.zeros((Ms, Ns, 2))
+        elif level_init == "random":
+            lvl_init_flow = None
+        else:
+            raise ValueError(f"unknown level_init {level_init!r}")
         res = solve(
             cfg, I1w, I2s,
             gt_flow=None, flow_range=fr, seed=seed, verbose=verbose,
+            init_flow=lvl_init_flow,
         )
         # per-level AEPE vs the residual GT (gt_level - warp)
         b = cfg.border

@@ -187,6 +187,8 @@ def main(only=None):
 
     if run("abhalf"):
         base = dict(dtype="float32", its=2000, eval_every=100)
+        # the improving-workload arm (RubberWhale @0.5 clearly beats its
+        # init within 2000 its) AND a stereo-scale arm (Teddy @0.5)
         for seed in (0, 1, 2):
             cfg = GQMAPConfig.full_mixture(
                 data_term="cosine", cheb_p=96, cheb_q=16,
@@ -194,6 +196,13 @@ def main(only=None):
             ac.run_one("abhalf_cosine", cfg, "RubberWhale", scale=0.5, seed=seed)
         cfg = GQMAPConfig.full_mixture(data_term="bicubic", quad_chunk=27, **base)
         ac.run_one("abhalf_bicubic", cfg, "RubberWhale", scale=0.5, seed=0)
+        for seed in (0,):
+            cfg = GQMAPConfig.full_mixture(
+                data_term="cosine", cheb_p=192, cheb_q=12,
+                edge_quad="reduced", **base)
+            ac.run_one("abhalf_cosine", cfg, "Teddy", scale=0.5, seed=seed)
+            cfg = GQMAPConfig.full_mixture(data_term="bicubic", quad_chunk=27, **base)
+            ac.run_one("abhalf_bicubic", cfg, "Teddy", scale=0.5, seed=seed)
         mark("abhalf")
 
     if run("lam-cones"):
