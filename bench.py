@@ -3,14 +3,16 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: Mpixel-sweeps/s/chip of the flagship solver (K=9, L=3 mixture) at
-Middlebury Teddy scale — the reference's headline workload
-(``optical_flow.m``) — using the TPU-native closed-form cosine data term
-and reduced 1-D edge quadrature (see PERFORMANCE.md; the exact
-gather-based term is 70x slower on v5e, whose XLA gathers scalarize). The
+Metric: CONVERGED-regime Mpixel-sweeps/s/chip of the flagship solver
+(K=9, L=3 mixture) at Middlebury Teddy scale — the reference's headline
+workload (``optical_flow.m``) — using the TPU-native closed-form cosine
+data term and reduced 1-D edge quadrature (see PERFORMANCE.md; the exact
+gather-based term is 70x slower on v5e, whose XLA gathers scalarize).
+The converged rate is primary because ~95% of a 30000-sweep solve runs
+at it (r05; the from-init transient is kept as a secondary field). The
 reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-relative to the best previously recorded round (``BENCH_r*.json``), or
-1.0 on the first measurement.
+relative to the best previously recorded round's ``steady_state``
+(``BENCH_r*.json``), or 1.0 when no comparable record exists.
 
 Measurement: one 300-sweep on-device segment (the solver's production
 execution shape) timed end to end with a forced literal fetch (on the
@@ -51,14 +53,21 @@ def previous_best():
     # silently found nothing in round 2 (vs_baseline came out 1.0 despite a
     # committed BENCH_r01.json). The driver's BENCH_r*.json wraps our JSON
     # line under "parsed" (alongside cmd/rc/tail) — read that, falling back
-    # to a top-level "value" for hand-written records.
+    # to top-level fields for hand-written records.
+    #
+    # Since r05 the primary `value` is the CONVERGED (steady-state) rate —
+    # the rate ~95% of a 30000-sweep solve executes at (VERDICT r04 weak
+    # #2: the from-init transient made BENCH_r04 read as a regression while
+    # the converged rate rose 12%). vs_baseline therefore compares against
+    # prior rounds' recorded `steady_state` field (r03+: 23.2, 26.155);
+    # rounds 1-2 recorded no steady_state and are not comparable.
     best = None
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as f:
                 rec = json.load(f)
-            v = rec.get("value", rec.get("parsed", {}).get("value"))
+            v = rec.get("steady_state", rec.get("parsed", {}).get("steady_state"))
             if isinstance(v, (int, float)) and (best is None or v > best):
                 best = float(v)
         except Exception:
@@ -129,16 +138,22 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "gqmap_full_mixture_sweep_throughput",
-                "value": round(value, 3),
+                "metric": "gqmap_full_mixture_converged_sweep_throughput",
+                # PRIMARY = converged-regime rate (sigma=0.05, adaptive
+                # cutoff off): the floor a 30000-iteration solve spends
+                # ~95% of its sweeps at, and the r03/r04 optimization
+                # objective. vs_baseline compares prior rounds'
+                # steady_state records (same definition).
+                "value": round(steady, 3),
                 "unit": "Mpixel-sweeps/s/chip",
-                "vs_baseline": round(value / prev, 3) if prev else 1.0,
+                "vs_baseline": round(steady / prev, 3) if prev else 1.0,
                 "mode": mode,
-                # Converged-regime floor (sigma=0.05: adaptive cutoff off).
-                # `value` follows the rounds-1/2 procedure (sweeps 10-310
-                # from init) so vs_baseline stays like-for-like; a full
-                # 30000-iteration solve runs between these two rates.
                 "steady_state": round(steady, 3),
+                # Secondary: sweeps 10-310 from random init (the rounds-1/2
+                # procedure) — the wide-sigma transient where the adaptive
+                # u-degree cutoff engages; a full solve runs between the
+                # two rates.
+                "from_init": round(value, 3),
             }
         )
     )

@@ -179,8 +179,10 @@ def cmd_ctf(args):
     cfg = _cfg_from_args(args)
     seq = load_sequence(args.seq, scale=args.scale)
     res = solve_coarse_to_fine(cfg, seq.img1, seq.img2, seq.gt_flow,
-                               verbose=not args.quiet)
-    print(json.dumps({"seq": args.seq, "aepe": res.aepe}))
+                               verbose=not args.quiet,
+                               level_init=args.level_init)
+    print(json.dumps({"seq": args.seq, "aepe": res.aepe,
+                      "level_init": args.level_init}))
 
 
 def cmd_sweep(args):
@@ -218,7 +220,16 @@ def main(argv=None):
                    help="apply the reset_para hook after N sweeps (legacy/gqmap_gpuV2.m:54-62)")
     p.set_defaults(fn=cmd_run)
     p = sub.add_parser("suite"); _add_common(p); p.add_argument("--seqs", required=True); p.set_defaults(fn=cmd_suite)
-    p = sub.add_parser("ctf");   _add_common(p); p.add_argument("--seq", required=True); p.set_defaults(fn=cmd_ctf)
+    p = sub.add_parser("ctf");   _add_common(p); p.add_argument("--seq", required=True)
+    p.add_argument("--level-init", dest="level_init", default="zero",
+                   choices=["zero", "random"],
+                   help="per-level mean init. zero (default) seeds each "
+                        "level's RESIDUAL solve at zero flow — the r04 fix "
+                        "for per-level error compounding. random reproduces "
+                        "the reference exactly (legacy/gqmap_ctf.m inherits "
+                        "gpuV2's full-box random init; measured to diverge "
+                        "on stereo-scale pairs — BASELINE.md)")
+    p.set_defaults(fn=cmd_ctf)
     p = sub.add_parser("sweep"); _add_common(p); p.add_argument("--seq", required=True)
     p.add_argument("--range", nargs=3, type=float, default=(0.300001, 1.0, 12))
     p.add_argument("--log", default=None); p.set_defaults(fn=cmd_sweep)

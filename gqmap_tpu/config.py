@@ -36,7 +36,15 @@ class GQMAPConfig:
     lambdas: float = 5.0          # smoothness weight
     patch: int = 1                # flow node owns patch x patch image pixels (super: 4)
     data_term: str = "bicubic"    # "bicubic" | "nearest" (legacy I2_cont lookup)
-                                  # | "chebyshev" (gather-free spectral term)
+                                  # | "chebyshev" (gather-free spectral term —
+                                  #   VALIDATION-ONLY since r05: it needs K^2
+                                  #   quadrature where cosine is closed-form,
+                                  #   runs at 16% of its VPU bound with no
+                                  #   Pallas kernel (roofline_r04.json), and
+                                  #   the matched A/B shows cosine also more
+                                  #   accurate (campaign ab_* rows). Kept as an
+                                  #   independent spectral cross-check of the
+                                  #   cosine path, not an operating mode.)
                                   # | "cosine" (closed-form spectral term: the
                                   #   Gaussian expectation of every mode is the
                                   #   characteristic function — no node

@@ -34,7 +34,9 @@ __all__ = ["cos_mode_sums_pallas", "cos_node_grads_pallas"]
 # "recur" = adaptive + a zero-exp multiplicative-recurrence inner body
 # taken whenever a per-tile exponent bound proves it safe — which is
 # exactly the tight-sigma converged regime that dominates a 30000-sweep
-# run (r04; measured ~1.5x the adaptive converged rate). The exp-lite
+# run (r04, results/kernel_ab.jsonl last record: 5.881 vs 6.113 ms
+# flagship converged, 9.01 vs 9.337 ms Teddy — a measured ~4% win, the
+# issue-serial pipeline hides most of the removed exp work). The exp-lite
 # "v2" experiment (one exp per mode, recurrence for the cross factor
 # only) recorded in kernel_ab.jsonl LOST ~20% and was removed; "recur"
 # differs by removing ALL in-loop exps and only where the recurrence
@@ -226,7 +228,8 @@ def _kernel(sp_ref, c_ref, out_ref,
         # B s2_max)^2, so require that < 8.9 (=> e^|79| stays finite and
         # no f32 weight underflows by more than e^-79 before recovering) —
         # satisfied with ~20x margin in the converged regime, where this
-        # branch is ~1.5x the exp body (r04, results/kernel_ab.jsonl).
+        # branch measures ~4% faster than the exp body (r04,
+        # results/kernel_ab.jsonl: 5.881 vs 6.113 ms flagship converged).
         spp = s1 * s2 * p
         hs2 = 0.5 * (s2 * s2)
         rr = jnp.exp(-(s2 * s2))

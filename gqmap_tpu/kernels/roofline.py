@@ -202,7 +202,11 @@ def sweep_roofline(image_shape=(376, 452), seed=0,
         # complex-packed bicubic (cfg.bicubic_pack, the default) fetches 8
         # complex64 taps per sample instead of 16 f32 — the gather bound is
         # index-rate-set, so the packed mode's bound halves with the count.
-        bicubic_taps = 8 if cfg.bicubic_pack else 16
+        # The packed path only engages for f32 state (f64 golden configs
+        # fall back to 16 real taps in ops/interp.sample_bicubic — mirror
+        # that condition here or the f64 bound reads 2x too tight).
+        packed = cfg.bicubic_pack and cfg.dtype == "float32"
+        bicubic_taps = 8 if packed else 16
         taps = {"bicubic": bicubic_taps, "nearest": 1, "chebyshev": 0, "cosine": 0}[mode] * sites * K2
         if taps:
             bound_s = taps / (ceil["gather_Mtaps_s"] * 1e6)

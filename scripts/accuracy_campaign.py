@@ -30,7 +30,9 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def done_runs():
-    """(tag, seq, seed) triples already recorded, for resumable campaigns."""
+    """(tag, seq, scale, seed) keys already recorded, for resumable
+    campaigns. Scale is part of the key (ADVICE r04: re-running a tag/seq
+    at a different scale must not be skipped as already done)."""
     done = set()
     path = os.path.join(OUT, "campaign.jsonl")
     if os.path.exists(path):
@@ -38,7 +40,8 @@ def done_runs():
             for line in f:
                 try:
                     r = json.loads(line)
-                    done.add((r["tag"], r["seq"], r.get("seed", 0)))
+                    done.add((r["tag"], r["seq"], float(r.get("scale", 1.0)),
+                              r.get("seed", 0)))
                 except (json.JSONDecodeError, KeyError):
                     continue
     return done
@@ -55,9 +58,9 @@ def run_one(tag, cfg, seq_name, scale=1.0, seed=0, log=None,
         tag = f"{tag}-smoke{its}"
 
     force = os.environ.get("GQMAP_CAMPAIGN_FORCE", "") == "1"
-    if not force and (tag, seq_name, seed) in done_runs():
-        print(f"skip {tag} {seq_name} seed={seed}: already in campaign.jsonl",
-              flush=True)
+    if not force and (tag, seq_name, float(scale), seed) in done_runs():
+        print(f"skip {tag} {seq_name} scale={scale} seed={seed}: "
+              "already in campaign.jsonl", flush=True)
         return None
     os.makedirs(OUT, exist_ok=True)
     seq = crop_to_multiple(
@@ -81,7 +84,10 @@ def run_one(tag, cfg, seq_name, scale=1.0, seed=0, log=None,
         cheb_p=cfg.cheb_p, cheb_q=cfg.cheb_q,
         lambdas=cfg.lambdas, temperature=cfg.temperature,
     )
-    np.savez(os.path.join(OUT, f"{tag}_{seq_name}.npz"),
+    # scale+seed in the trace filename: multi-seed / multi-scale runs of the
+    # same tag must not overwrite each other's traces (ADVICE r04)
+    suffix = "" if (scale == 1.0 and seed == 0) else f"_s{scale}_seed{seed}"
+    np.savez(os.path.join(OUT, f"{tag}_{seq_name}{suffix}.npz"),
              AEPE=res.AEPE, Energy=res.Energy, logP=res.logP, map=res.map,
              alpha=res.alpha)
     line = json.dumps(rec)

@@ -61,8 +61,10 @@ def main():
         for (fam, seq, scale, arm), rs in sorted(groups.items()):
             fin = np.array([r["final_aepe"] for r in rs if r["final_aepe"] is not None])
             best = np.array([r["best_aepe"] for r in rs])
-            print(f"| {fam}:{seq}@{scale} | {arm} | "
-                  f"{fin.mean():.4f}±{fin.std():.4f} | "
+            # an arm can have no finite final AEPE at all (no finite eval in
+            # any of its runs) — print a marker, not nan + RuntimeWarning
+            fin_s = (f"{fin.mean():.4f}±{fin.std():.4f}" if fin.size else "—")
+            print(f"| {fam}:{seq}@{scale} | {arm} | {fin_s} | "
                   f"{best.mean():.4f}±{best.std():.4f} | {len(rs)} |")
 
     # per-sequence best AEPE + the single Middlebury average (all GT

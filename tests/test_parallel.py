@@ -188,6 +188,35 @@ def test_solve_with_mesh_matches_single():
     np.testing.assert_allclose(b.AEPE[2], a.AEPE[2], rtol=1e-7)
 
 
+def test_solve_with_mesh_super_preset():
+    # the patch=4 super lattice under GSPMD solve (VERDICT r04 item 10):
+    # the flow lattice is image_shape/patch, so shard divisibility interacts
+    # with cfg.patch (the 4x4-aligned shards SURVEY.md 2.5 calls out for
+    # gqmap_gpuSuper_mix_entropy.m:11). 32x32 image -> 8x8 lattice over a
+    # 2x2 spatial mesh.
+    from scipy.ndimage import gaussian_filter as gf
+    from gqmap_tpu.models.gqmap import solve
+
+    r = np.random.default_rng(0)
+    I1 = gf(r.uniform(0, 255, (32, 32)), 1.5)
+    I2 = np.roll(I1, 1, axis=1)
+    gt = np.zeros((32, 32, 2))
+    gt[..., 0] = 1.0
+    fr = FlowRange(-2, 2, -2, 2)
+    cfg = GQMAPConfig.super_entropy(
+        K=5, L=2, its=6, eval_every=3, dtype="float64",
+        data_term="cosine", cheb_p=12, cheb_q=8, edge_quad="reduced",
+        quad_chunk=0,
+    )
+    a = solve(cfg, I1, I2, gt_flow=gt, flow_range=fr, seed=3)
+    mesh = make_mesh(4, dp=1)
+    b = solve(cfg, I1, I2, gt_flow=gt, flow_range=fr, seed=3, mesh=mesh)
+    assert a.map.shape == (8, 8, 2)  # lattice-res map (repelem at scoring)
+    np.testing.assert_allclose(b.mu, a.mu, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(b.Energy[:6], a.Energy[:6], rtol=1e-8)
+    np.testing.assert_allclose(b.AEPE[2], a.AEPE[2], rtol=1e-7)
+
+
 def test_sharded_redblack_equals_single():
     # GSPMD path: the parity iotas partition with the lattice, so the
     # checkerboard order must stay shard-count-invariant
