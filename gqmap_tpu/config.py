@@ -195,9 +195,20 @@ class GQMAPConfig:
     def tpu_fast(cls, **kw) -> "GQMAPConfig":
         """Flagship mixture preset with the TPU-native fast paths: the
         closed-form cosine data term (zero node quadrature) and the reduced
-        1-D edge quadrature (see PERFORMANCE.md)."""
+        1-D edge quadrature (see PERFORMANCE.md).
+
+        Degrees 64x16 since r05: the measured accuracy frontier
+        (``results/degrees_frontier.jsonl``) shows A=64 matches A=96 on
+        both small-motion probes at 10000 its (RubberWhale 0.3703 vs
+        0.3713, Dimetrodon 0.3669 vs 0.3671) and the 30000-it verification
+        holds the campaign contract (``flag64x16_cosine`` rows), while
+        kernel time scales ~linearly with A*B -> ~1.5x converged
+        throughput. B=16 is accuracy-load-bearing (B=12 costs +2.4% on
+        RubberWhale); stereo-scale runs still size A to the GT
+        displacement box (campaign uses 192 or, per the Teddy frontier
+        points, 96-128 at <0.2% cost)."""
         return cls.full_mixture(**{**dict(
-            data_term="cosine", cheb_p=96, cheb_q=16, quad_chunk=27,
+            data_term="cosine", cheb_p=64, cheb_q=16, quad_chunk=27,
             edge_quad="reduced",
         ), **kw})
 

@@ -175,7 +175,8 @@ def sweep_roofline(image_shape=(376, 452), seed=0,
 
     for mode in modes:
         if mode == "cosine":
-            cfg = GQMAPConfig.tpu_fast(dtype="float32", cheb_p=96, cheb_q=16)
+            # flagship degrees (64x16 since the r05 frontier re-pick)
+            cfg = GQMAPConfig.tpu_fast(dtype="float32")
         else:
             cfg = GQMAPConfig.full_mixture(
                 dtype="float32", quad_chunk=27, data_term=mode, cheb_p=96, cheb_q=16
@@ -231,7 +232,7 @@ def sweep_roofline(image_shape=(376, 452), seed=0,
     return out
 
 
-def flagship_roofline(image_shape=(376, 452), seed=0, A=96, B=16, ceilings=None):
+def flagship_roofline(image_shape=(376, 452), seed=0, A=64, B=16, ceilings=None):
     """Achieved fraction of the governing ceiling for the flagship path.
 
     Two measurements (VERDICT r1 item 4 — a number, not prose):

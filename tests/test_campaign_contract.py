@@ -30,6 +30,11 @@ EXPECTED = {
     ("full_cosine", "RubberWhale", 0): (0.237, 30000),  # r04: 0.2292
     ("full_cosine", "Dimetrodon", 0): (0.274, 30000),   # r04: 0.2657
     ("full_cosine", "Grove2", 0): (0.444, 30000),       # r04: 0.4301
+    # r05 flagship re-pick verification: 64x16 degrees at the full budget
+    # must keep matching the 96x16 rows (the basis for tpu_fast's default)
+    ("flag64x16_cosine", "RubberWhale", 0): (0.237, 30000),  # r05: 0.2299
+    ("flag64x16_cosine", "Dimetrodon", 0): (0.274, 30000),   # r05: 0.2661
+    ("flag64x16_cosine", "Grove2", 0): (0.443, 30000),       # r05: 0.4300
     ("super_cosine", "Venus", 0): (0.86, 30000),      # r04: 0.8333
     ("super_cosine", "Hydrangea", 0): (0.211, 30000), # r04: 0.2045
     ("super_cosine", "Urban2", 0): (2.87, 30000),     # r04: 2.7813
