@@ -134,6 +134,17 @@ def main(only=None):
         if rc == 0:
             mark("roofline")
 
+    if step("frontier48", only):
+        # the one untested frontier corner: A=48 at the load-bearing B=16
+        # (every failing 48-class point was at B<=12). Evidence-only — a
+        # further 1.33x candidate for the NEXT adoption cycle, not adopted
+        # this round (adoption requires its own 30000-it verification).
+        from campaign_r05 import frontier_run
+
+        for seq in ("RubberWhale", "Dimetrodon"):
+            frontier_run(seq, 48, 16)
+        mark("frontier48")
+
     if step("lam-best-cones", only):
         rows = {}
         with open(os.path.join(OUT, "lambda_sweep.jsonl")) as f:
