@@ -10,15 +10,16 @@ VERDICT r04 item 2 (full-res exact-vs-cosine parity A/B):
   per-cell ledger steps ordered seed-0-first — partial completion still
   yields a balanced seed-0 row per sequence.
 
-* abfull-bic800 — the full-res exact arm, TRUNCATED. The original
+* abfull-bic400 — the full-res exact arm, TRUNCATED. The original
   2000-it Teddy bicubic arm (~85 min at ~2.5 s/sweep complex-packed) was
   killed ~40% in by a TPU worker fault ("kernel fault" per the runtime;
   results/campaign/r05_log.txt tail). Re-running 2000 its does not fit
   the remaining round budget and risks a second fault ending the queue,
-  so this records an 800-it arm (tag `abfull800_bicubic`) instead; the
-  matched comparison reads the abfull_cosine trace at iteration 800
-  (abfull_cosine_Teddy.npz stores per-iteration AEPE). Runs LAST so a
-  repeat fault cannot take the cheaper jobs with it.
+  so this records a 400-it arm (tag `abfull400_bicubic`) instead; the
+  matched comparison reads the abfull_cosine trace at iteration 400
+  (abfull_cosine_Teddy.npz stores per-iteration AEPE). It runs BEFORE
+  the quarter-scale bicubic cells (it is the higher-value arm) but after
+  the cheap cosine cells, so a repeat fault costs the least possible.
 
 Reference workload being A/B'd: optical_flow.m:16-27 (full-res Teddy,
 the exact bicubic-interpolated data term of gqmap_gpu_mixture.m:156-179
@@ -80,6 +81,13 @@ def main(only=None):
                 ac.run_one("ab_cosine", cos_cfg, seq, scale=0.25, seed=seed)
         mark("abq-cos")
 
+    if step("abfull-bic400", only):
+        cfg = GQMAPConfig.full_mixture(data_term="bicubic", quad_chunk=27,
+                                       dtype="float32", its=400,
+                                       eval_every=25)
+        ac.run_one("abfull400_bicubic", cfg, "Teddy", seed=0)
+        mark("abfull-bic400")
+
     # bicubic cells: one ledger step each, seed-0 cells first
     cells = [(seq, seed) for seed in (0, 1, 2)
              for seq in ("Dimetrodon", "Grove2")]
@@ -88,13 +96,6 @@ def main(only=None):
         if step(name, only):
             ac.run_one("ab_bicubic", bic_cfg, seq, scale=0.25, seed=seed)
             mark(name)
-
-    if step("abfull-bic800", only):
-        cfg = GQMAPConfig.full_mixture(data_term="bicubic", quad_chunk=27,
-                                       dtype="float32", its=800,
-                                       eval_every=25)
-        ac.run_one("abfull800_bicubic", cfg, "Teddy", seed=0)
-        mark("abfull-bic800")
 
     print("[tail2] done", flush=True)
 
