@@ -55,6 +55,17 @@ EXPECTED = {
     # must keep beating Jacobi at matched sweep count on this workload.
     ("order_jacobi", "RubberWhale", 0): (0.463, 6000),    # r04: 0.4490
     ("order_redblack", "RubberWhale", 0): (0.381, 6000),  # r04: 0.3690
+    # r05 sweep-order arms on the other two workload classes (the basis
+    # for the "opt-in knob, not default" decision in BASELINE.md): locked
+    # as recorded, including the Teddy arm where red-black LOSES.
+    ("order_redblack", "Teddy", 0): (6.09, 10000),          # r05: 5.9130
+    ("order_redblack_super", "Hydrangea", 0): (0.212, 30000),  # r05: 0.2057
+    # r05 full-res exact-vs-cosine parity arms (VERDICT r04 item 2):
+    # Teddy full-res, 2000 its from random init (far from converged by
+    # design — the matched-iteration comparison regime).
+    ("abfull_cosine", "Teddy", 0): (8.41, 2000),  # r05: 8.1629
+    ("abfull_cosine", "Teddy", 1): (8.50, 2000),  # r05: 8.2529
+    ("abfull_cosine", "Teddy", 2): (8.47, 2000),  # r05: 8.2268
 }
 
 
