@@ -391,8 +391,23 @@ def cos_mode_sums_pallas(
         # per-shape best on both flagship (96x16) and campaign (192x12)
         # shapes; larger blocks hit a >1.5x cliff at 192x12 (a_block=40)
         # while staying flat at 96x16 — no clean VMEM-bytes rule fits both,
-        # so use the uniform empirical sweet spot.
-        a_block = min(A, 24)
+        # so use the uniform empirical sweet spot — but ONLY when it
+        # divides A. A ragged final A-block is catastrophic, not the
+        # ~pad/A work it looks like: at 64x16, a_block=24 (pad 64->72,
+        # nA=3) measures 6.75-6.88 ms vs 3.90-4.05 at the evenly-dividing
+        # a_block=32 (results/diag_64x16.jsonl, r05) — a ~70% penalty on
+        # a tile that adds only 12.5% of padded modes. So: take the
+        # largest block <= 32 that divides A exactly, preferring 24 when
+        # it divides (the tuned spot for 48/96/192-class degrees); fall
+        # back to the raw minimum only for degenerate A with no such
+        # divisor.
+        if A <= 24:
+            a_block = A
+        elif A % 24 == 0:
+            a_block = 24
+        else:
+            a_block = next((d for d in range(32, 7, -1) if A % d == 0),
+                           min(A, 24))
     if unroll_b is None:
         unroll_b = B
     nA = -(-A // a_block)

@@ -66,6 +66,16 @@ EXPECTED = {
     ("abfull_cosine", "Teddy", 0): (8.41, 2000),  # r05: 8.1629
     ("abfull_cosine", "Teddy", 1): (8.50, 2000),  # r05: 8.2529
     ("abfull_cosine", "Teddy", 2): (8.47, 2000),  # r05: 8.2268
+    # r05 quarter-scale A/B extension to 3 sequences (VERDICT r04 item 2).
+    # best_aepe at this scale is the shared seeded init (best_at=1); the
+    # cosine-vs-bicubic comparison itself is test_cosine_tracks_exact_term.
+    ("ab_cosine", "Dimetrodon", 0): (0.357, 2000),   # r05: 0.3460
+    ("ab_cosine", "Dimetrodon", 1): (0.354, 2000),   # r05: 0.3431
+    ("ab_cosine", "Dimetrodon", 2): (0.353, 2000),   # r05: 0.3421
+    ("ab_cosine", "Grove2", 0): (0.388, 2000),       # r05: 0.3763
+    ("ab_cosine", "Grove2", 1): (0.384, 2000),       # r05: 0.3721
+    ("ab_cosine", "Grove2", 2): (0.386, 2000),       # r05: 0.3743
+    ("ab_bicubic", "Dimetrodon", 0): (0.359, 2000),  # r05: 0.3479
 }
 
 
